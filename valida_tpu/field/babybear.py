@@ -1,0 +1,210 @@
+"""BabyBear prime field (p = 2^31 - 2^27 + 1) arithmetic for TPU.
+
+All device-side values are `jnp.uint32` arrays in **Montgomery form** (x·R mod p,
+R = 2^32).  Montgomery representation lets every modular multiply run as a short
+sequence of 32-bit integer ops that XLA vectorizes onto the TPU VPU lanes — there
+is no native 64-bit multiply-high on TPU, so the 64-bit products are assembled
+from 16-bit limb partial products.
+
+Reference semantics: p3-baby-bear / p3-field as consumed by the Valida reference
+(`/root/reference/machine/src/config.rs:9-14`); our representation choices are
+TPU-native, only canonical (non-Montgomery) u32 values appear in serialized
+proofs and hashed transcripts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Constants
+# ---------------------------------------------------------------------------
+
+P = 2013265921  # 2^31 - 2^27 + 1
+TWO_ADICITY = 27
+GENERATOR = 31  # multiplicative group generator (canonical form)
+MONTY_MU = 2281701377  # p^{-1} mod 2^32
+R1 = 268435454  # 2^32 mod p  ("one" in Montgomery form)
+R2 = 1172168163  # 2^64 mod p (to_monty multiplier)
+
+_U32 = jnp.uint32
+_MASK16 = jnp.uint32(0xFFFF)
+
+# two-adic generator chain: g[k] has order 2^k; g[27] = 31^15 mod p.
+_G27 = 440564289
+TWO_ADIC_GENERATORS = [1] * (TWO_ADICITY + 1)
+TWO_ADIC_GENERATORS[TWO_ADICITY] = _G27
+for _k in range(TWO_ADICITY - 1, -1, -1):
+    TWO_ADIC_GENERATORS[_k] = (
+        TWO_ADIC_GENERATORS[_k + 1] * TWO_ADIC_GENERATORS[_k + 1] % P
+    )
+assert TWO_ADIC_GENERATORS[0] == 1 and TWO_ADIC_GENERATORS[1] == P - 1
+
+
+def two_adic_generator(bits: int) -> int:
+    """Canonical-form generator of the order-2^bits subgroup."""
+    return TWO_ADIC_GENERATORS[bits]
+
+
+# ---------------------------------------------------------------------------
+# Host-side (python int) helpers — exact mirrors used by the challenger and
+# by tests; scalar work is never on the device hot path.
+# ---------------------------------------------------------------------------
+
+
+def h_mul(a: int, b: int) -> int:
+    return a * b % P
+
+
+def h_add(a: int, b: int) -> int:
+    s = a + b
+    return s - P if s >= P else s
+
+
+def h_sub(a: int, b: int) -> int:
+    d = a - b
+    return d + P if d < 0 else d
+
+
+def h_inv(a: int) -> int:
+    return pow(a, P - 2, P)
+
+
+def h_exp(a: int, e: int) -> int:
+    return pow(a, e, P)
+
+
+def to_monty_int(x: int) -> int:
+    return (x << 32) % P
+
+
+def from_monty_int(x: int) -> int:
+    return x * pow(1 << 32, P - 2, P) % P
+
+
+# ---------------------------------------------------------------------------
+# Device-side primitives (jnp.uint32, Montgomery form)
+# ---------------------------------------------------------------------------
+
+
+def _mul64(a, b):
+    """Full 64-bit product of uint32 inputs as (hi, lo) uint32 pair.
+
+    Requires a < 2^31 or b < 2^31 is NOT assumed: handles full u32 range.
+    Built from 16-bit limbs so every partial product fits in uint32.
+    """
+    a0 = a & _MASK16
+    a1 = a >> 16
+    b0 = b & _MASK16
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1  # < 2^32, fits
+    hl = a1 * b0
+    hh = a1 * b1
+    # mid = lh + hl can overflow u32 for full-range inputs; track its carry.
+    mid = lh + hl
+    mid_carry = (mid < lh).astype(_U32)  # 1 iff wrapped
+    lo = ll + (mid << 16)
+    lo_carry = (lo < ll).astype(_U32)
+    hi = hh + (mid >> 16) + (mid_carry << 16) + lo_carry
+    return hi, lo
+
+
+def _umulh_p(m):
+    """High 32 bits of m * P, exploiting P = 0x78000001 (low limb = 1)."""
+    m0 = m & _MASK16
+    m1 = m >> 16
+    p1 = jnp.uint32(P >> 16)  # 0x7800
+    lh = m0 * p1
+    mid = lh + m1  # < 2^31 + 2^16, fits
+    lo = m0 + (mid << 16)
+    lo_carry = (lo < m0).astype(_U32)
+    return m1 * p1 + (mid >> 16) + lo_carry
+
+
+def _monty_reduce(hi, lo):
+    """(hi·2^32 + lo)·R^{-1} mod p, result in [0, p)."""
+    m = lo * jnp.uint32(MONTY_MU)  # wrapping low product
+    u_hi = _umulh_p(m)
+    r = hi - u_hi
+    return jnp.where(hi < u_hi, r + jnp.uint32(P), r)
+
+
+def mul(a, b):
+    """Montgomery product of Montgomery-form inputs."""
+    hi, lo = _mul64(a, b)
+    return _monty_reduce(hi, lo)
+
+
+def add(a, b):
+    s = a + b
+    return jnp.where(s >= jnp.uint32(P), s - jnp.uint32(P), s)
+
+
+def sub(a, b):
+    d = a - b
+    return jnp.where(a < b, d + jnp.uint32(P), d)
+
+
+def neg(a):
+    return jnp.where(a == 0, a, jnp.uint32(P) - a)
+
+
+def double(a):
+    return add(a, a)
+
+
+def to_monty(x):
+    """Canonical uint32 (in [0, p)) -> Montgomery form."""
+    hi, lo = _mul64(x.astype(_U32), jnp.uint32(R2))
+    return _monty_reduce(hi, lo)
+
+
+def from_monty(x):
+    """Montgomery form -> canonical uint32 in [0, p)."""
+    return _monty_reduce(jnp.zeros_like(x), x)
+
+
+def from_wrapped_u32(x):
+    """Arbitrary u32 -> Montgomery form (value taken mod p)."""
+    x = x.astype(_U32)
+    x = jnp.where(x >= jnp.uint32(P), x - jnp.uint32(P), x)  # x < 2^32 < 2p+…
+    x = jnp.where(x >= jnp.uint32(P), x - jnp.uint32(P), x)
+    return to_monty(x)
+
+
+def exp(a, e: int):
+    """a^e for a static python-int exponent (square-and-multiply, unrolled)."""
+    result = None
+    base = a
+    while e > 0:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = mul(base, base)
+    if result is None:
+        return jnp.full_like(a, jnp.uint32(R1))
+    return result
+
+
+def inv(a):
+    """a^{p-2}; maps 0 -> 0 (allowing-zero semantics, mirrors
+    `/root/reference/util/src/lib.rs:21-43`)."""
+    # p - 2 = 2013265919.  Addition-chain-ish square and multiply.
+    return exp(a, P - 2)
+
+
+def monty_scalar(x: int) -> int:
+    """Python-int canonical value -> Montgomery-form python int."""
+    return (x << 32) % P
+
+
+def const(x: int, shape=(), dtype=_U32):
+    """Montgomery-form constant array from a canonical python int."""
+    return jnp.full(shape, monty_scalar(x % P), dtype=dtype)
+
+
+ONE = R1  # Montgomery-form 1 as a python int
+ZERO = 0

@@ -1,0 +1,204 @@
+"""Degree-5 binomial extension of BabyBear: F_p[x] / (x^5 - W), W = 2.
+
+Mirrors the challenge field used by the reference
+(`/root/reference/basic/src/bin/valida.rs:357`).  Device representation:
+uint32 arrays with a trailing axis of length 5, coefficients in Montgomery
+form (coefficient of x^0 first).  Host scalars are 5-tuples of canonical
+python ints.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import babybear as bb
+
+D = 5  # extension degree
+W = 2  # binomial nonresidue: x^5 = 2
+
+_W_MONTY = bb.monty_scalar(W)
+
+
+# ---------------------------------------------------------------------------
+# Device-side (trailing axis = 5, Montgomery uint32)
+# ---------------------------------------------------------------------------
+
+
+def ext_add(a, b):
+    return bb.add(a, b)
+
+
+def ext_sub(a, b):
+    return bb.sub(a, b)
+
+
+def ext_neg(a):
+    return bb.neg(a)
+
+
+def ext_scale(a, s):
+    """Multiply ext array by base-field array s (shape broadcastable, monty)."""
+    return bb.mul(a, s[..., None] if s.ndim == a.ndim - 1 else s)
+
+
+def ext_mul(a, b):
+    """Product modulo x^5 - W.  c_k = sum_{i+j=k} a_i b_j + W·sum_{i+j=k+5}."""
+    w = jnp.uint32(_W_MONTY)
+    c = []
+    for k in range(D):
+        acc = None
+        for i in range(D):
+            j = k - i
+            if 0 <= j < D:
+                t = bb.mul(a[..., i], b[..., j])
+            else:
+                j5 = k + D - i
+                if not (0 <= j5 < D):
+                    continue
+                t = bb.mul(bb.mul(a[..., i], b[..., j5]), w)
+            acc = t if acc is None else bb.add(acc, t)
+        c.append(acc)
+    return jnp.stack(c, axis=-1)
+
+
+def ext_mul_base(a, s):
+    """ext · base (s is a base-field monty array broadcast over coeffs)."""
+    return bb.mul(a, s[..., None])
+
+
+def ext_exp(a, e: int):
+    result = None
+    base = a
+    while e > 0:
+        if e & 1:
+            result = base if result is None else ext_mul(result, base)
+        e >>= 1
+        if e:
+            base = ext_mul(base, base)
+    if result is None:
+        return ext_one_like(a)
+    return result
+
+
+def ext_one_like(a):
+    one = jnp.zeros(a.shape, dtype=jnp.uint32)
+    return one.at[..., 0].set(jnp.uint32(bb.ONE))
+
+
+def ext_inv(a):
+    """Inverse via a^(p^5 - 2) ≡ norm trick: a^{-1} = conj_prod / norm.
+
+    Uses Frobenius: a^{p^i} are conjugates; prod of all 5 conjugates is the
+    norm in F_p.  a^{-1} = (prod_{i=1..4} a^{p^i}) / norm.
+    """
+    # r = a^(p) * a^(p^2) * a^(p^3) * a^(p^4)
+    conj = frobenius(a)
+    r = conj
+    for _ in range(3):
+        conj = frobenius(conj)
+        r = ext_mul(r, conj)
+    # norm = a * r  (lands in base field: coefficient 0)
+    norm = ext_mul(a, r)
+    norm0 = norm[..., 0]
+    inv_norm = bb.inv(norm0)
+    return ext_mul_base(r, inv_norm)
+
+
+# Frobenius: x -> x^p.  x^p = x^(5q + r) where p = 5q + r... since x^5 = W,
+# x^p = W^((p - (p mod 5))/5) * x^(p mod 5).  p mod 5 = 2013265921 mod 5 = 1.
+# So x^p = W^((p-1)/5) * x, i.e. coefficient i scales by W^(i(p-1)/5).
+_FROB_BASE = pow(W, (bb.P - 1) // 5, bb.P)
+_FROB_COEFFS = [pow(_FROB_BASE, i, bb.P) for i in range(D)]
+_FROB_COEFFS_MONTY = np.array(
+    [bb.monty_scalar(c) for c in _FROB_COEFFS], dtype=np.uint32
+)
+
+
+def frobenius(a):
+    return bb.mul(a, jnp.asarray(_FROB_COEFFS_MONTY))
+
+
+def ext_from_base(a):
+    """Base-field monty array -> ext array (a placed at coeff 0)."""
+    out = jnp.zeros(a.shape + (D,), dtype=jnp.uint32)
+    return out.at[..., 0].set(a)
+
+
+# ---------------------------------------------------------------------------
+# Host-side scalar mirror (tuples of canonical ints)
+# ---------------------------------------------------------------------------
+
+ExtScalar = tuple  # length-5 tuple of ints in [0, p)
+
+E_ZERO = (0, 0, 0, 0, 0)
+E_ONE = (1, 0, 0, 0, 0)
+
+
+def e_add(a, b):
+    return tuple(bb.h_add(x, y) for x, y in zip(a, b))
+
+
+def e_sub(a, b):
+    return tuple(bb.h_sub(x, y) for x, y in zip(a, b))
+
+
+def e_neg(a):
+    return tuple((bb.P - x) % bb.P for x in a)
+
+
+def e_mul(a, b):
+    c = [0] * D
+    for i in range(D):
+        if a[i] == 0:
+            continue
+        for j in range(D):
+            k = i + j
+            t = a[i] * b[j] % bb.P
+            if k >= D:
+                c[k - D] = (c[k - D] + t * W) % bb.P
+            else:
+                c[k] = (c[k] + t) % bb.P
+    return tuple(c)
+
+
+def e_scale(a, s: int):
+    return tuple(x * s % bb.P for x in a)
+
+
+def e_from_base(x: int):
+    return (x % bb.P, 0, 0, 0, 0)
+
+
+def e_exp(a, e: int):
+    result = E_ONE
+    base = a
+    while e > 0:
+        if e & 1:
+            result = e_mul(result, base)
+        e >>= 1
+        base = e_mul(base, base)
+    return result
+
+
+def e_inv(a):
+    # norm trick mirrors device version
+    def frob(x):
+        return tuple(x[i] * _FROB_COEFFS[i] % bb.P for i in range(D))
+
+    conj = frob(a)
+    r = conj
+    for _ in range(3):
+        conj = frob(conj)
+        r = e_mul(r, conj)
+    norm = e_mul(a, r)
+    assert all(c == 0 for c in norm[1:]), "norm must be in base field"
+    return e_scale(r, bb.h_inv(norm[0]))
+
+
+def e_powers(a, n: int):
+    """[1, a, a^2, ..., a^{n-1}]"""
+    out = [E_ONE]
+    for _ in range(n - 1):
+        out.append(e_mul(out[-1], a))
+    return out
