@@ -1,0 +1,204 @@
+"""Keccak-256 (original pad 0x01) over uint32 lane pairs, batched for TPU.
+
+Replaces p3-keccak + SerializingHasher32 (`basic/src/bin/valida.rs:367-369`):
+messages are streams of u32 words serialized little-endian; digests are
+8 x u32 words (little-endian bytes of the 32-byte hash).
+
+64-bit lanes are represented as two uint32 arrays (lo, hi) since TPU has no
+u64; all 24 Keccak-f[1600] rounds are bitwise VPU ops, vectorized over an
+arbitrary batch of messages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+RATE_BYTES = 136
+RATE_WORDS = 34  # u32 words per block
+DIGEST_WORDS = 8
+
+# Keccak round constants (public spec), as (lo, hi) u32 pairs.
+_RC64 = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A,
+    0x8000000080008000, 0x000000000000808B, 0x0000000080000001,
+    0x8000000080008081, 0x8000000000008009, 0x000000000000008A,
+    0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089,
+    0x8000000000008003, 0x8000000000008002, 0x8000000000000080,
+    0x000000000000800A, 0x800000008000000A, 0x8000000080008081,
+    0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+_RC_LO = np.array([c & 0xFFFFFFFF for c in _RC64], dtype=np.uint32)
+_RC_HI = np.array([c >> 32 for c in _RC64], dtype=np.uint32)
+
+# rho rotation offsets, indexed by lane = x + 5*y
+_RHO = [0] * 25
+_x, _y = 1, 0
+for _t in range(24):
+    _RHO[_x + 5 * _y] = ((_t + 1) * (_t + 2) // 2) % 64
+    _x, _y = _y, (2 * _x + 3 * _y) % 5
+
+
+def _rotl(lo, hi, r):
+    r %= 64
+    if r == 0:
+        return lo, hi
+    if r == 32:
+        return hi, lo
+    if r < 32:
+        nlo = (lo << r) | (hi >> (32 - r))
+        nhi = (hi << r) | (lo >> (32 - r))
+        return nlo, nhi
+    r -= 32
+    nlo = (hi << r) | (lo >> (32 - r))
+    nhi = (lo << r) | (hi >> (32 - r))
+    return nlo, nhi
+
+
+def keccak_f(lo, hi):
+    """One Keccak-f[1600] permutation.
+
+    lo, hi: uint32 arrays of shape [..., 25] (lane index = x + 5*y).
+    """
+    for rnd in range(24):
+        # theta
+        c_lo = [None] * 5
+        c_hi = [None] * 5
+        for x in range(5):
+            cl = lo[..., x]
+            ch = hi[..., x]
+            for y in range(1, 5):
+                cl = cl ^ lo[..., x + 5 * y]
+                ch = ch ^ hi[..., x + 5 * y]
+            c_lo[x], c_hi[x] = cl, ch
+        d_lo = [None] * 5
+        d_hi = [None] * 5
+        for x in range(5):
+            rl, rh = _rotl(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
+            d_lo[x] = c_lo[(x - 1) % 5] ^ rl
+            d_hi[x] = c_hi[(x - 1) % 5] ^ rh
+        a_lo = [lo[..., i] ^ d_lo[i % 5] for i in range(25)]
+        a_hi = [hi[..., i] ^ d_hi[i % 5] for i in range(25)]
+        # rho + pi
+        b_lo = [None] * 25
+        b_hi = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                src = x + 5 * y
+                dst = y + 5 * ((2 * x + 3 * y) % 5)
+                b_lo[dst], b_hi[dst] = _rotl(a_lo[src], a_hi[src], _RHO[src])
+        # chi
+        n_lo = [None] * 25
+        n_hi = [None] * 25
+        for y in range(5):
+            for x in range(5):
+                i = x + 5 * y
+                i1 = (x + 1) % 5 + 5 * y
+                i2 = (x + 2) % 5 + 5 * y
+                n_lo[i] = b_lo[i] ^ (~b_lo[i1] & b_lo[i2])
+                n_hi[i] = b_hi[i] ^ (~b_hi[i1] & b_hi[i2])
+        # iota
+        n_lo[0] = n_lo[0] ^ jnp.uint32(_RC_LO[rnd])
+        n_hi[0] = n_hi[0] ^ jnp.uint32(_RC_HI[rnd])
+        lo = jnp.stack(n_lo, axis=-1)
+        hi = jnp.stack(n_hi, axis=-1)
+    return lo, hi
+
+
+def _pad_words(n_words: int) -> tuple[int, np.ndarray, np.ndarray]:
+    """Static padding plan: returns (n_blocks, pad_or_mask[2 arrays]) applied
+    to the zero-extended word buffer."""
+    n_blocks = n_words // RATE_WORDS + 1
+    total = n_blocks * RATE_WORDS
+    pad = np.zeros(total, dtype=np.uint32)
+    pad[n_words] ^= 0x01  # first padding byte (LE byte 0 of the word)
+    pad[total - 1] ^= 0x80000000  # final 0x80 at last byte of last block
+    return n_blocks, pad
+
+
+def keccak256_words(words):
+    """Batched Keccak-256 of u32-word messages.
+
+    words: uint32 [batch, n_words] (message bytes = LE serialization).
+    Returns uint32 [batch, 8].
+    """
+    batch, n_words = words.shape
+    n_blocks, pad = _pad_words(n_words)
+    total = n_blocks * RATE_WORDS
+    buf = jnp.zeros((batch, total), dtype=jnp.uint32)
+    buf = buf.at[:, :n_words].set(words.astype(jnp.uint32))
+    buf = buf ^ jnp.asarray(pad)[None, :]
+
+    lo = jnp.zeros((batch, 25), dtype=jnp.uint32)
+    hi = jnp.zeros((batch, 25), dtype=jnp.uint32)
+    for b in range(n_blocks):
+        block = buf[:, b * RATE_WORDS : (b + 1) * RATE_WORDS]
+        # word k -> lane k//2, half k%2
+        blk_lo = block[:, 0::2]  # 17 lanes
+        blk_hi = block[:, 1::2]
+        lo = lo.at[:, :17].set(lo[:, :17] ^ blk_lo)
+        hi = hi.at[:, :17].set(hi[:, :17] ^ blk_hi)
+        lo, hi = keccak_f(lo, hi)
+
+    # squeeze 32 bytes = 4 lanes = 8 words
+    out = jnp.stack(
+        [lo[:, 0], hi[:, 0], lo[:, 1], hi[:, 1], lo[:, 2], hi[:, 2], lo[:, 3], hi[:, 3]],
+        axis=-1,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host (pure python) mirror for Merkle path verification
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+def _h_rotl(v, r):
+    r %= 64
+    return ((v << r) | (v >> (64 - r))) & _M64
+
+
+def keccak_f_host(lanes: list[int]) -> list[int]:
+    a = list(lanes)
+    for rnd in range(24):
+        c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20] for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _h_rotl(c[(x + 1) % 5], 1) for x in range(5)]
+        a = [a[i] ^ d[i % 5] for i in range(25)]
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                src = x + 5 * y
+                dst = y + 5 * ((2 * x + 3 * y) % 5)
+                b[dst] = _h_rotl(a[src], _RHO[src])
+        a = [
+            b[i] ^ ((~b[(i % 5 + 1) % 5 + 5 * (i // 5)] & _M64)
+                    & b[(i % 5 + 2) % 5 + 5 * (i // 5)])
+            for i in range(25)
+        ]
+        a[0] ^= _RC64[rnd]
+    return a
+
+
+def keccak256_words_host(words) -> np.ndarray:
+    """Host Keccak-256 of a single u32-word message; returns uint32[8]."""
+    words = [int(w) & 0xFFFFFFFF for w in words]
+    n_words = len(words)
+    n_blocks = n_words // RATE_WORDS + 1
+    total = n_blocks * RATE_WORDS
+    buf = words + [0] * (total - n_words)
+    buf[n_words] ^= 0x01
+    buf[total - 1] ^= 0x80000000
+    lanes = [0] * 25
+    for b in range(n_blocks):
+        block = buf[b * RATE_WORDS : (b + 1) * RATE_WORDS]
+        for k in range(17):
+            lanes[k] ^= block[2 * k] | (block[2 * k + 1] << 32)
+        lanes = keccak_f_host(lanes)
+    out = []
+    for lane in lanes[:4]:
+        out.append(lane & 0xFFFFFFFF)
+        out.append(lane >> 32)
+    return np.array(out, dtype=np.uint32)

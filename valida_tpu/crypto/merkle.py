@@ -1,0 +1,118 @@
+"""Mixed-height batched Merkle tree commitment (MMCS) with Keccak-256.
+
+Plays the role of p3-merkle-tree's FieldMerkleTreeMmcs + SerializingHasher32 +
+CompressionFunctionFromHasher (`basic/src/bin/valida.rs:367-372`): commits a
+batch of row-major matrices whose power-of-two heights may differ; matrices
+are injected into the tree at the level matching their height.
+
+Digest = 8 x u32.  Leaf hashing is fully batched on device (one Keccak call
+per level); path verification is host-side python (cheap: 40 queries).
+
+Injection rule (self-consistent, checked by prover & verifier here):
+  level log_max:  d(i) = H(rows of all max-height matrices at i)
+  level k < max:  d(i) = C(d(2i), d(2i+1))
+                  then, if matrices of height 2^k exist:
+                  d(i) = C(d(i), H(rows at i))
+where H = Keccak-256 of the LE u32 word stream, C = Keccak-256 of 16 words.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .keccak import keccak256_words, keccak256_words_host
+
+DIGEST_WORDS = 8
+
+
+def _hash_rows(mats_at_level):
+    """mats: list of [n, w] uint32 canonical -> [n, 8] digests (device)."""
+    cat = jnp.concatenate([m.astype(jnp.uint32) for m in mats_at_level], axis=1)
+    return keccak256_words(cat)
+
+
+def _compress(left, right):
+    """left/right [n, 8] -> [n, 8]."""
+    return keccak256_words(jnp.concatenate([left, right], axis=1))
+
+
+class MerkleTree:
+    def __init__(self, matrices):
+        """matrices: list of uint32 arrays [h_i, w_i], canonical values,
+        h_i a power of two.  Order is preserved for openings."""
+        self.matrices = [jnp.asarray(m) for m in matrices]
+        heights = [int(m.shape[0]) for m in self.matrices]
+        assert all(h & (h - 1) == 0 for h in heights)
+        self.log_max = max(h.bit_length() - 1 for h in heights)
+        self._by_level: dict[int, list] = {}
+        for m in self.matrices:
+            k = int(m.shape[0]).bit_length() - 1
+            self._by_level.setdefault(k, []).append(m)
+
+        # build levels top (leaves) down to root
+        self.levels: dict[int, jnp.ndarray] = {}
+        k = self.log_max
+        d = _hash_rows(self._by_level[k])
+        self.levels[k] = d
+        while k > 0:
+            k -= 1
+            d = _compress(d[0::2], d[1::2])
+            if k in self._by_level:
+                d = _compress(d, _hash_rows(self._by_level[k]))
+            self.levels[k] = d
+        self.root_array = np.asarray(self.levels[0][0])
+
+    def root(self) -> np.ndarray:
+        return self.root_array
+
+    def open(self, index: int):
+        """Open leaf `index` (in [0, 2^log_max)).
+
+        Returns (opened_rows, path): opened_rows[i] = row of matrix i at
+        index >> (log_max - log_h_i) as np.uint32 array; path = list of
+        sibling digests (np.uint32[8]) from level log_max down to 1.
+        """
+        rows = []
+        for m in self.matrices:
+            h = int(m.shape[0]).bit_length() - 1
+            rows.append(np.asarray(m[index >> (self.log_max - h)]))
+        path = []
+        idx = index
+        for k in range(self.log_max, 0, -1):
+            path.append(np.asarray(self.levels[k][idx ^ 1]))
+            idx >>= 1
+        return rows, path
+
+
+def verify_opening(root, dims, index: int, opened_rows, path) -> bool:
+    """Host-side path verification.
+
+    dims: list of (height, width) per matrix (commitment shape metadata);
+    opened_rows: list of uint32 arrays; path: sibling digests leaf->root.
+    """
+    log_max = max(int(h).bit_length() - 1 for h, _ in dims)
+    by_level: dict[int, list] = {}
+    for (h, _w), row in zip(dims, opened_rows):
+        k = int(h).bit_length() - 1
+        by_level.setdefault(k, []).append(row)
+
+    def h_rows(k):
+        words = np.concatenate([np.asarray(r, dtype=np.uint32) for r in by_level[k]])
+        return keccak256_words_host(words)
+
+    def c(a, b):
+        return keccak256_words_host(list(a) + list(b))
+
+    d = h_rows(log_max)
+    idx = index
+    for step, k in enumerate(range(log_max, 0, -1)):
+        sib = path[step]
+        if idx & 1:
+            d = c(sib, d)
+        else:
+            d = c(d, sib)
+        idx >>= 1
+        if (k - 1) in by_level:
+            d = c(d, h_rows(k - 1))
+    return bool(np.array_equal(np.asarray(d), np.asarray(root)))
