@@ -1,0 +1,303 @@
+"""Batch FRI low-degree proof over bit-reversed two-adic coset domains.
+
+Plays the role of p3-fri's commit/fold/query machinery as consumed through
+`open_multi_batches` / `verify_multi_batches`
+(`/root/reference/derive/src/lib.rs:391-392,620-633`).  Self-consistent
+design (prover and verifier in this framework):
+
+* All committed evaluation vectors are in **bit-reversed** order, so fold
+  pairs (x, -x) sit at adjacent indices (2i, 2i+1) and a Merkle query index
+  is stable across layers via right-shifts.
+* Commit phase: repeatedly fold by 2 with challenger-sampled beta; each
+  layer is committed as a pair matrix [M/2, 2*5] (extension values
+  flattened to base columns); "reduced openings" of smaller heights are
+  injected as the fold reaches their size.
+* After the final constant: proof-of-work grind, then query-index sampling.
+
+Fold rule at pair (e0, e1) with x0 = the even point:
+    p'(x0^2) = (e0 + e1)/2 + beta * (e0 - e1) / (2 x0)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext as extf
+from ..poly.ntt import bitrev_indices, _powers_host
+from ..crypto.merkle import MerkleTree, verify_opening
+from ..crypto import poseidon
+
+
+@dataclasses.dataclass
+class FriConfig:
+    log_blowup: int = 1
+    num_queries: int = 40
+    proof_of_work_bits: int = 8
+
+
+@dataclasses.dataclass
+class CommitPhaseOpening:
+    pair_row: np.ndarray  # uint32 [10]: both pair values, base-flattened
+    path: list
+
+
+@dataclasses.dataclass
+class FriQueryProof:
+    # one entry per commit-phase layer
+    commit_phase_openings: list
+
+
+@dataclasses.dataclass
+class FriProof:
+    commit_phase_commits: list  # roots, np.uint32[8]
+    final_poly: tuple  # ext scalar (canonical ints)
+    pow_witness: int
+    query_proofs: list  # [FriQueryProof]
+
+
+# ---------------------------------------------------------------------------
+# domain tables
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _x0_inv_table(log_m: int, shift: int) -> np.ndarray:
+    """inv(x0) for each fold pair of a size-2^log_m layer with coset shift.
+
+    x0(pair i) = shift * g_M^{brev_{M/2}(i)}; returns Montgomery uint32
+    [M/2].  (brev of the even element of the pair.)
+    """
+    half = 1 << (log_m - 1)
+    g = bb.two_adic_generator(log_m)
+    pw = _powers_host(g, half).astype(np.uint64)  # g^j, j < M/2
+    if log_m - 1 > 0:
+        pw = pw[bitrev_indices(log_m - 1)]
+    x0 = pw * np.uint64(shift % bb.P) % np.uint64(bb.P)
+    inv = np.array([bb.h_inv(int(v)) for v in x0], dtype=np.uint64)
+    return ((inv << 32) % np.uint64(bb.P)).astype(np.uint32)
+
+
+def layer_shift(base_shift: int, layer: int) -> int:
+    """Coset shift of fold layer `layer` (0 = input domain)."""
+    s = base_shift % bb.P
+    for _ in range(layer):
+        s = s * s % bb.P
+    return s
+
+
+def _ext_to_base_matrix(v):
+    """[M, 5] ext monty -> [M/2, 10] canonical pair matrix for commitment."""
+    m = v.shape[0]
+    return np.asarray(bb.from_monty(v)).reshape(m // 2, 10)
+
+
+def fold_device(v, beta, x0_inv):
+    """One FRI fold on device.
+
+    v: [M, 5] ext monty (bitrev order); beta: [5] ext monty; x0_inv: [M/2]
+    base monty.  Returns [M/2, 5].
+    """
+    e0 = v[0::2]
+    e1 = v[1::2]
+    s = bb.add(e0, e1)
+    d = bb.sub(e0, e1)
+    d = extf.ext_mul_base(d, x0_inv)
+    d = extf.ext_mul(d, jnp.broadcast_to(beta[None, :], d.shape))
+    inv2 = jnp.uint32(bb.monty_scalar(bb.h_inv(2)))
+    return bb.mul(bb.add(s, d), inv2)
+
+
+# ---------------------------------------------------------------------------
+# proof-of-work grind (device-batched Poseidon search)
+# ---------------------------------------------------------------------------
+
+
+def grind_device(challenger, bits: int) -> int:
+    """Find the smallest witness w such that observing w then sampling
+    `bits` bits yields 0.  Batched Poseidon on device; falls back to the
+    host loop for tiny state shapes.
+
+    Mirrors DuplexChallenger.grind semantics exactly: observe(w) appends to
+    the input buffer; sample() duplexes and pops state[WIDTH-1].
+    """
+    base_state = np.array(challenger.state, dtype=np.uint32)
+    pending = list(challenger.input_buffer)
+    k = len(pending)
+    assert k + 1 < poseidon.WIDTH, "input buffer overflow during grind"
+    batch = 1 << 14
+    mask = (1 << bits) - 1
+    state0 = np.tile(base_state, (batch, 1))
+    for i, v in enumerate(pending):
+        state0[:, i] = v
+    state0_m = bb.to_monty(jnp.asarray(state0))
+
+    @jax.jit
+    def attempt(start):
+        cand = start + jnp.arange(batch, dtype=jnp.uint32)
+        st = state0_m.at[:, k].set(bb.to_monty(cand))
+        out = poseidon.permute_device(st)
+        last = bb.from_monty(out[:, poseidon.WIDTH - 1])
+        ok = (last & jnp.uint32(mask)) == 0
+        idx = jnp.argmax(ok)
+        return jnp.where(jnp.any(ok), cand[idx], jnp.uint32(0xFFFFFFFF))
+
+    start = 0
+    while start < (1 << 32):
+        w = int(attempt(jnp.uint32(start)))
+        if w != 0xFFFFFFFF:
+            challenger.observe(w)
+            assert challenger.sample_bits(bits) == 0
+            return w
+        start += batch
+    raise RuntimeError("grind failed")
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+def fri_prove(reduced_openings: dict, config: FriConfig, shift: int, challenger):
+    """Run the FRI commit + query phases.
+
+    reduced_openings: {log_m: [2^log_m, 5] ext monty device array in bitrev
+    order} — the alpha-combined opening quotients per LDE height.
+    Returns (FriProof, query_indices, layer_trees) — trees kept so the
+    caller can attach input openings per query.
+    """
+    log_max = max(reduced_openings)
+    log_min = config.log_blowup
+    current = reduced_openings[log_max]
+
+    commits = []
+    trees = []
+    betas = []
+    layer = 0
+    for log_m in range(log_max, log_min, -1):
+        pair_mat = _ext_to_base_matrix(current)
+        tree = MerkleTree([pair_mat])
+        trees.append(tree)
+        commits.append(tree.root())
+        challenger.observe_digest(tree.root())
+        beta = challenger.sample_ext()
+        betas.append(beta)
+        beta_m = bb.to_monty(jnp.asarray(np.array(beta, dtype=np.uint32)))
+        x0inv = jnp.asarray(
+            _x0_inv_table(log_m, layer_shift(shift, layer))
+        )
+        current = fold_device(current, beta_m, x0inv)
+        layer += 1
+        nxt = log_m - 1
+        if nxt in reduced_openings:
+            current = bb.add(current, reduced_openings[nxt])
+
+    final_vals = np.asarray(bb.from_monty(current))  # [2^log_min, 5]
+    final_poly = tuple(int(v) for v in final_vals[0])
+    assert all(
+        tuple(int(v) for v in row) == final_poly for row in final_vals
+    ), "final FRI polynomial is not constant — degree bound violated"
+    challenger.observe_ext(final_poly)
+
+    pow_witness = grind_device(challenger, config.proof_of_work_bits)
+
+    query_indices = [
+        challenger.sample_bits(log_max) for _ in range(config.num_queries)
+    ]
+
+    query_proofs = []
+    for idx in query_indices:
+        openings = []
+        i = idx
+        for tree in trees:
+            rows, path = tree.open(i >> 1)
+            openings.append(CommitPhaseOpening(pair_row=rows[0], path=path))
+            i >>= 1
+        query_proofs.append(FriQueryProof(commit_phase_openings=openings))
+
+    proof = FriProof(
+        commit_phase_commits=commits,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+        query_proofs=query_proofs,
+    )
+    return proof, query_indices
+
+
+# ---------------------------------------------------------------------------
+# verifier
+# ---------------------------------------------------------------------------
+
+
+class FriError(Exception):
+    pass
+
+
+def fri_verify_challenges(proof: FriProof, config: FriConfig, log_max: int,
+                          challenger):
+    """Replay the transcript: betas, pow check, query indices."""
+    betas = []
+    for root in proof.commit_phase_commits:
+        challenger.observe_digest(root)
+        betas.append(challenger.sample_ext())
+    challenger.observe_ext(proof.final_poly)
+    if not challenger.check_witness(config.proof_of_work_bits, proof.pow_witness):
+        raise FriError("proof-of-work check failed")
+    indices = [
+        challenger.sample_bits(log_max) for _ in range(config.num_queries)
+    ]
+    return betas, indices
+
+
+def verify_query_fold(query_proof: FriQueryProof, proof: FriProof,
+                      config: FriConfig, betas, index: int, log_max: int,
+                      shift: int, ro_at_index: dict) -> None:
+    value = ro_at_index[log_max]
+    idx = index
+    layer = 0
+    for log_m in range(log_max, config.log_blowup, -1):
+        opening = query_proof.commit_phase_openings[layer]
+        root = proof.commit_phase_commits[layer]
+        pair_index = idx >> 1
+        dims = [(1 << (log_m - 1), 10)]
+        if not verify_opening(root, dims, pair_index, [opening.pair_row], opening.path):
+            raise FriError(f"bad commit-phase Merkle path at layer {layer}")
+        row = np.asarray(opening.pair_row, dtype=np.uint64)
+        e0 = tuple(int(v) for v in row[0:5])
+        e1 = tuple(int(v) for v in row[5:10])
+        mine = e0 if (idx & 1) == 0 else e1
+        if mine != tuple(value):
+            raise FriError(f"fold value mismatch at layer {layer}")
+        # fold
+        s_j = layer_shift(shift, layer)
+        g = bb.two_adic_generator(log_m)
+        half_bits = log_m - 1
+        pair_rev = _bitrev_int(pair_index, half_bits)
+        x0 = s_j * pow(g, pair_rev, bb.P) % bb.P
+        inv2 = bb.h_inv(2)
+        s_ = extf.e_add(e0, e1)
+        d_ = extf.e_sub(e0, e1)
+        d_ = extf.e_scale(d_, bb.h_inv(x0))
+        d_ = extf.e_mul(d_, betas[layer])
+        value = extf.e_scale(extf.e_add(s_, d_), inv2)
+        idx = pair_index
+        layer += 1
+        nxt = log_m - 1
+        if nxt in ro_at_index:
+            value = extf.e_add(value, ro_at_index[nxt])
+    if tuple(value) != tuple(proof.final_poly):
+        raise FriError("final polynomial mismatch")
+
+
+def _bitrev_int(x: int, bits: int) -> int:
+    r = 0
+    for _ in range(bits):
+        r = (r << 1) | (x & 1)
+        x >>= 1
+    return r

@@ -1,0 +1,330 @@
+"""Two-adic FRI polynomial commitment scheme (batch commit / batch open).
+
+API mirrors the Pcs surface the reference consumes
+(`/root/reference/derive/src/lib.rs:283-392`): commit_batches,
+commit_shifted_batches, get_ldes, open_multi_batches, verify_multi_batches,
+coset_shift, log_blowup — re-designed TPU-first: LDEs and Merkle levels are
+computed as batched device kernels; the sequential Fiat-Shamir transcript
+runs host-side and is replicated deterministically on every process.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext as extf
+from ..poly import ntt as nttm
+from ..poly.ntt import bitrev_indices
+from ..crypto.merkle import MerkleTree, verify_opening
+from . import fri as frim
+from .fri import FriConfig, FriProof, FriError
+
+
+@dataclasses.dataclass
+class ProverData:
+    """Per-commitment prover state."""
+
+    coeffs: list  # [h, w] natural-order coefficient matrices (monty)
+    ldes: list  # [h*blowup, w] natural-order LDE matrices (monty)
+    tree: MerkleTree  # commits bitrev canonical LDE rows
+    log_heights: list  # trace log-heights
+
+
+@dataclasses.dataclass
+class BatchOpening:
+    opened_rows: list  # canonical uint32 rows, one per matrix in the round
+    path: list
+
+
+@dataclasses.dataclass
+class PcsQueryProof:
+    input_openings: list  # one BatchOpening per round
+    fri_query: frim.FriQueryProof
+
+
+@dataclasses.dataclass
+class PcsProof:
+    fri: FriProof
+    query_proofs: list  # [PcsQueryProof]
+
+
+class TwoAdicFriPcs:
+    def __init__(self, config: FriConfig | None = None, coset_shift: int = bb.GENERATOR):
+        self.config = config or FriConfig()
+        self.shift = coset_shift % bb.P
+
+    @property
+    def log_blowup(self) -> int:
+        return self.config.log_blowup
+
+    def coset_shift(self) -> int:
+        return self.shift
+
+    # -- commit ------------------------------------------------------------
+
+    def commit_batches(self, matrices, domain_shifts=None):
+        """Commit a batch of trace matrices (canonical uint32 [h, w], h a
+        power of two, natural evaluation order over shift_i·H_h).
+
+        domain_shifts: per-matrix evaluation-domain shift (default 1 =
+        plain subgroup).  Returns (commitment root np.uint32[8], ProverData).
+        """
+        if domain_shifts is None:
+            domain_shifts = [1] * len(matrices)
+        coeffs_list = []
+        ldes = []
+        committed = []
+        log_heights = []
+        for mat, dshift in zip(matrices, domain_shifts):
+            mat = jnp.asarray(mat)
+            h = int(mat.shape[0])
+            log_h = h.bit_length() - 1
+            log_heights.append(log_h)
+            m = bb.to_monty(mat)
+            if dshift == 1:
+                coeffs = nttm.intt(m)
+            else:
+                coeffs = nttm.coset_intt(m, dshift)
+            padded = jnp.concatenate(
+                [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << self.log_blowup) - 1),
+                axis=0,
+            )
+            lde = nttm.coset_eval_from_coeffs(padded, self.shift)
+            coeffs_list.append(coeffs)
+            ldes.append(lde)
+            rev = jnp.asarray(bitrev_indices(log_h + self.log_blowup))
+            committed.append(np.asarray(bb.from_monty(lde[rev])))
+        tree = MerkleTree(committed)
+        data = ProverData(
+            coeffs=coeffs_list, ldes=ldes, tree=tree, log_heights=log_heights
+        )
+        return tree.root(), data
+
+    def get_ldes(self, data: ProverData):
+        """Natural-order LDE matrices (monty) for quotient evaluation."""
+        return data.ldes
+
+    # -- open --------------------------------------------------------------
+
+    def open_multi_batches(self, rounds, challenger):
+        """rounds: [(ProverData, points_per_matrix)] with points given as
+        ext scalars (tuples).  Returns (opened_values, PcsProof).
+
+        opened_values[r][m][p] = list of ext tuples, one per column.
+        """
+        config = self.config
+        # 1. evaluate openings from coefficient form
+        opened_values = []
+        for data, points in rounds:
+            round_vals = []
+            for coeffs, mat_points in zip(data.coeffs, points):
+                mat_vals = []
+                h = coeffs.shape[0]
+                for z in mat_points:
+                    zp = _ext_powers_device(z, h)
+                    vals = nttm.eval_at_ext_point(coeffs, zp)  # [w, 5] monty
+                    vals = np.asarray(bb.from_monty(vals))
+                    mat_vals.append([tuple(int(x) for x in row) for row in vals])
+                round_vals.append(mat_vals)
+            opened_values.append(round_vals)
+
+        # 2. transcript: observe opened values, sample alpha
+        for round_vals in opened_values:
+            for mat_vals in round_vals:
+                for point_vals in mat_vals:
+                    for val in point_vals:
+                        challenger.observe_ext(val)
+        alpha = challenger.sample_ext()
+
+        # 3. reduced openings per LDE height (bitrev order, ext monty)
+        reduced = {}
+        alpha_offset = 0
+        for (data, points), round_vals in zip(rounds, opened_values):
+            for mi, (coeffs, lde, mat_points) in enumerate(
+                zip(data.coeffs, data.ldes, points)
+            ):
+                w = int(lde.shape[1])
+                log_lde = int(lde.shape[0]).bit_length() - 1
+                apows = extf.e_powers(alpha, alpha_offset + w)[alpha_offset:]
+                apows_m = bb.to_monty(
+                    jnp.asarray(np.array(apows, dtype=np.uint32))
+                )  # [w, 5]
+                rev = jnp.asarray(bitrev_indices(log_lde))
+                lde_rev = lde[rev]
+                # combined(x) = sum_c alpha^{off+c} p_c(x): [H, 5]
+                combined = _alpha_combine(lde_rev, apows_m)
+                xs = jnp.asarray(_coset_points_bitrev(log_lde, self.shift))
+                acc = reduced.get(log_lde)
+                for z, point_vals in zip(mat_points, round_vals[mi]):
+                    comb_y = extf.E_ZERO
+                    for c in range(w):
+                        comb_y = extf.e_add(
+                            comb_y, extf.e_mul(apows[c], point_vals[c])
+                        )
+                    num = bb.sub(
+                        combined,
+                        bb.to_monty(
+                            jnp.asarray(np.array(comb_y, dtype=np.uint32))
+                        )[None, :],
+                    )
+                    # denominator (x - z): ext over [H]
+                    z_m = bb.to_monty(jnp.asarray(np.array(z, dtype=np.uint32)))
+                    denom = bb.sub(extf.ext_from_base(xs), z_m[None, :])
+                    quot = extf.ext_mul(num, extf.ext_inv(denom))
+                    acc = quot if acc is None else bb.add(acc, quot)
+                reduced[log_lde] = acc
+                alpha_offset += w
+
+        # 4. FRI
+        fri_proof, query_indices = frim.fri_prove(
+            reduced, config, self.shift, challenger
+        )
+
+        # 5. input openings per query
+        log_max = max(reduced)
+        query_proofs = []
+        for qi, idx in enumerate(query_indices):
+            input_openings = []
+            for data, _points in rounds:
+                tree_log_max = data.tree.log_max
+                rows, path = data.tree.open(idx >> (log_max - tree_log_max))
+                input_openings.append(BatchOpening(opened_rows=rows, path=path))
+            query_proofs.append(
+                PcsQueryProof(
+                    input_openings=input_openings,
+                    fri_query=fri_proof.query_proofs[qi],
+                )
+            )
+
+        return opened_values, PcsProof(fri=fri_proof, query_proofs=query_proofs)
+
+    # -- verify ------------------------------------------------------------
+
+    def verify_multi_batches(self, rounds, dims, opened_values, proof: PcsProof,
+                             challenger):
+        """rounds: [(commit_root, points_per_matrix)]; dims[r][m] = (height,
+        width) of the committed (trace) matrix; opened_values as produced by
+        open_multi_batches."""
+        config = self.config
+
+        for round_vals in opened_values:
+            for mat_vals in round_vals:
+                for point_vals in mat_vals:
+                    for val in point_vals:
+                        challenger.observe_ext(val)
+        alpha = challenger.sample_ext()
+
+        log_max = max(
+            (int(h).bit_length() - 1) + self.log_blowup
+            for rdims in dims
+            for (h, _w) in rdims
+        )
+
+        betas, indices = frim.fri_verify_challenges(
+            proof.fri, config, log_max, challenger
+        )
+
+        # precompute alpha powers layout
+        for (root, points), rdims, round_vals, in zip(rounds, dims, opened_values):
+            assert len(points) == len(rdims) == len(round_vals)
+
+        for qi, idx in enumerate(indices):
+            qp = proof.query_proofs[qi]
+            ro = {}
+            alpha_offset = 0
+            for ri, ((root, points), rdims, round_vals) in enumerate(
+                zip(rounds, dims, opened_values)
+            ):
+                opening = qp.input_openings[ri]
+                lde_dims = [
+                    (h << self.log_blowup, w) for (h, w) in rdims
+                ]
+                tree_log_max = max(
+                    int(h).bit_length() - 1 for (h, _w) in lde_dims
+                )
+                tree_idx = idx >> (log_max - tree_log_max)
+                if not verify_opening(
+                    root, lde_dims, tree_idx, opening.opened_rows, opening.path
+                ):
+                    raise FriError(f"bad input opening (round {ri})")
+                for mi, ((h, w), mat_points) in enumerate(zip(rdims, points)):
+                    log_lde = int(h).bit_length() - 1 + self.log_blowup
+                    row = opening.opened_rows[mi]
+                    mat_idx = idx >> (log_max - log_lde)
+                    x = (
+                        self.shift
+                        * pow(
+                            bb.two_adic_generator(log_lde),
+                            frim._bitrev_int(mat_idx, log_lde),
+                            bb.P,
+                        )
+                        % bb.P
+                    )
+                    apows = extf.e_powers(alpha, alpha_offset + w)[alpha_offset:]
+                    comb_row = extf.E_ZERO
+                    for c in range(w):
+                        comb_row = extf.e_add(
+                            comb_row, extf.e_scale(apows[c], int(row[c]))
+                        )
+                    acc = ro.get(log_lde, extf.E_ZERO)
+                    for z, point_vals in zip(mat_points, round_vals[mi]):
+                        comb_y = extf.E_ZERO
+                        for c in range(w):
+                            comb_y = extf.e_add(
+                                comb_y, extf.e_mul(apows[c], point_vals[c])
+                            )
+                        num = extf.e_sub(comb_row, comb_y)
+                        den = extf.e_sub(extf.e_from_base(x), z)
+                        acc = extf.e_add(acc, extf.e_mul(num, extf.e_inv(den)))
+                    ro[log_lde] = acc
+                    alpha_offset += w
+            frim.verify_query_fold(
+                qp.fri_query, proof.fri, config, betas, idx, log_max,
+                self.shift, ro,
+            )
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _ext_powers_device(z: tuple, n: int):
+    """[n, 5] monty powers of ext scalar z via log-doubling."""
+    import math
+
+    arr = np.zeros((1, 5), dtype=np.uint32)
+    arr[0, 0] = 1
+    arr_m = bb.to_monty(jnp.asarray(arr))
+    length = 1
+    while length < n:
+        step = extf.e_exp(z, length)
+        step_m = bb.to_monty(jnp.asarray(np.array(step, dtype=np.uint32)))
+        nxt = extf.ext_mul(arr_m, jnp.broadcast_to(step_m[None, :], arr_m.shape))
+        arr_m = jnp.concatenate([arr_m, nxt], axis=0)
+        length *= 2
+    return arr_m[:n]
+
+
+def _alpha_combine(lde_rev, apows_m):
+    """sum_c alpha^c * column_c: [H, w] base monty x [w, 5] ext -> [H, 5]."""
+    out = []
+    for d in range(5):
+        prod = bb.mul(lde_rev, apows_m[None, :, d])  # [H, w]
+        out.append(nttm._mod_sum(prod, axis=1))
+    return jnp.stack(out, axis=-1)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_points_bitrev(log_n: int, shift: int) -> np.ndarray:
+    from ..poly.domain import coset_points
+
+    pts = coset_points(log_n, shift)
+    return pts[bitrev_indices(log_n)]
