@@ -1,0 +1,220 @@
+"""LogUp-style bus lookup engine.
+
+Vectorized transcription of `generate_permutation_trace` /
+`eval_permutation_constraints` / `generate_rlc_elements`
+(`/root/reference/machine/src/chip.rs:121-331`):
+
+* per interaction m, reciprocal column q_m(row) = 1/(alpha_bus + sum_j
+  beta^j f_{m,j}(row));
+* running-sum column phi accumulating +q*count for sends, -q*count for
+  receives — a modular prefix sum computed with `lax.associative_scan`
+  (which also shards across a device mesh, SURVEY.md §5.7);
+* AIR side re-asserts the reciprocals and the telescoping sum; the machine
+  verifier closes the argument with sum(cumulative_sums) == 0.
+
+alpha_local[i] = ch0^{i+1}, alpha_global[i] = ch1^{i+1}, betas = ch2^j
+(from j = 0) — matching `generate_rlc_elements`' `.powers().skip(1)`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext as extf
+from .types import SEND, RECEIVE, Interaction
+
+
+def rlc_alphas(chip, machine, challenges):
+    """(alphas_local, alphas_global) keyed by bus index (host ext tuples)."""
+    def max_bus(interactions):
+        idxs = [i.bus.index for i in interactions]
+        return (max(idxs) + 1) if idxs else 1
+
+    n_local = max_bus(chip.local_sends() + chip.local_receives())
+    n_global = max_bus(chip.global_sends(machine) + chip.global_receives(machine))
+    local = extf.e_powers(challenges[0], n_local + 1)[1:]
+    glob = extf.e_powers(challenges[1], n_global + 1)[1:]
+    return local, glob
+
+
+def _interaction_rlc_device(interaction, betas_host, alpha_host, prep_m, main_m):
+    """RLC over all rows: [N, 5] ext monty.
+
+    prep_m / main_m: Montgomery column-indexable arrays [N, C] (or None).
+    """
+    n = main_m.shape[0]
+    acc = jnp.zeros((n, 5), dtype=jnp.uint32)
+    for j, field in enumerate(interaction.fields):
+        fvals = _apply_vpcol_device(field, prep_m, main_m)  # [N] base monty
+        beta_j = bb.to_monty(
+            jnp.asarray(np.array(betas_host[j], dtype=np.uint32))
+        )  # [5]
+        acc = bb.add(acc, bb.mul(fvals[:, None], beta_j[None, :]))
+    alpha_m = bb.to_monty(jnp.asarray(np.array(alpha_host, dtype=np.uint32)))
+    return bb.add(acc, alpha_m[None, :])
+
+
+def _apply_vpcol_device(vp, prep_m, main_m):
+    n = main_m.shape[0]
+    acc = jnp.full((n,), bb.monty_scalar(vp.constant), dtype=jnp.uint32)
+    for (trace, idx), w in vp.weights:
+        col = main_m[:, idx] if trace == "main" else prep_m[:, idx]
+        if w == 1:
+            acc = bb.add(acc, col)
+        else:
+            acc = bb.add(acc, bb.mul(col, jnp.uint32(bb.monty_scalar(w))))
+    return acc
+
+
+def generate_permutation_trace(machine, chip, main_trace, challenges):
+    """main_trace: canonical uint32 [N, C] (device or numpy).
+
+    Returns perm trace as ext matrix [N, n_interactions + 1, 5] Montgomery,
+    where the last ext column is the running sum phi.
+    """
+    interactions = chip.all_interactions(machine)
+    alphas_local, alphas_global = rlc_alphas(chip, machine, challenges)
+    n = int(main_trace.shape[0])
+    main_m = bb.to_monty(jnp.asarray(main_trace))
+    prep = chip.preprocessed_trace()
+    prep_m = None
+    if prep is not None:
+        prep = np.asarray(prep)
+        if prep.shape[0] < n:  # pad preprocessed to trace height
+            pad = np.zeros((n - prep.shape[0], prep.shape[1]), dtype=prep.dtype)
+            prep = np.concatenate([prep, pad], axis=0)
+        prep_m = bb.to_monty(jnp.asarray(prep[:n]))
+
+    betas = extf.e_powers(challenges[2], max((len(i.fields) for i in interactions), default=1))
+
+    cols = []
+    for inter in interactions:
+        alpha = (
+            alphas_local[inter.bus.index]
+            if inter.bus.is_local
+            else alphas_global[inter.bus.index]
+        )
+        rlc = _interaction_rlc_device(inter, betas, alpha, prep_m, main_m)
+        cols.append(extf.ext_inv(rlc))  # q_m; ext_inv maps 0 -> 0 like ref
+
+    # phi: prefix sum of sum_m (+-) q_m * count_m
+    if cols:
+        terms = None
+        for (inter, itype), q in zip(
+            [(i, t) for i, t in chip.typed_interactions(machine)], cols
+        ):
+            count = _apply_vpcol_device(inter.count, prep_m, main_m)
+            t = extf.ext_mul_base(q, count)
+            if itype == RECEIVE:
+                t = bb.neg(t)
+            terms = t if terms is None else bb.add(terms, t)
+        phi = jax.lax.associative_scan(bb.add, terms, axis=0)
+    else:
+        phi = jnp.zeros((n, 5), dtype=jnp.uint32)
+
+    perm = jnp.stack(cols + [phi], axis=1) if cols else phi[:, None, :]
+    return perm
+
+
+def cumulative_sum(perm_trace):
+    """Last phi value as a host ext tuple (canonical)."""
+    last = np.asarray(bb.from_monty(perm_trace[-1, -1]))
+    return tuple(int(x) for x in last)
+
+
+def flatten_perm_trace(perm_trace):
+    """[N, K, 5] ext monty -> [N, K*5] canonical for committing."""
+    n, k, d = perm_trace.shape
+    return np.asarray(bb.from_monty(perm_trace)).reshape(n, k * d)
+
+
+def eval_permutation_constraints(chip, builder, cumulative_sum_value):
+    """Builder-generic permutation AIR (mirrors chip.rs:210-289)."""
+    machine = builder.machine
+    interactions = list(chip.typed_interactions(machine))
+    challenges = builder.perm_challenges
+    alphas_local_n, alphas_global_n = _alpha_counts(chip, machine)
+
+    # alpha powers as builder expressions: ch^(i+1)
+    def powers_of(ch, count):
+        out = []
+        acc = ch
+        for _ in range(count):
+            out.append(acc)
+            acc = acc * ch
+        return out
+
+    alphas_local = powers_of(challenges[0], alphas_local_n)
+    alphas_global = powers_of(challenges[1], alphas_global_n)
+    max_fields = max((len(i.fields) for i, _ in interactions), default=1)
+    betas = [builder.const(1)]
+    for _ in range(max_fields - 1):
+        betas.append(betas[-1] * challenges[2])
+
+    perm_local = builder.perm_local
+    perm_next = builder.perm_next
+    phi_local = perm_local[-1]
+    phi_next = perm_next[-1]
+
+    lhs = phi_next - phi_local
+    rhs = builder.const(0)
+    phi_0 = builder.const(0)
+
+    for m, (inter, itype) in enumerate(interactions):
+        rlc = builder.const(0)
+        for j, field in enumerate(inter.fields):
+            elem = field.apply(
+                builder.preprocessed_local, builder.main_local, builder.const
+            )
+            rlc = rlc + betas[j] * elem
+        alpha = (
+            alphas_local[inter.bus.index]
+            if inter.bus.is_local
+            else alphas_global[inter.bus.index]
+        )
+        rlc = rlc + alpha
+        builder.assert_one(rlc * perm_local[m])
+
+        mult_local = inter.count.apply(
+            builder.preprocessed_local, builder.main_local, builder.const
+        )
+        mult_next = inter.count.apply(
+            builder.preprocessed_next, builder.main_next, builder.const
+        )
+        if itype == SEND:
+            phi_0 = phi_0 + perm_local[m] * mult_local
+            rhs = rhs + perm_next[m] * mult_next
+        else:
+            phi_0 = phi_0 - perm_local[m] * mult_local
+            rhs = rhs - perm_next[m] * mult_next
+
+    builder.when_transition().assert_eq(lhs, rhs)
+    builder.when_first_row().assert_eq(phi_local, phi_0)
+    builder.when_last_row().assert_eq(
+        phi_local, _cum_sum_expr(builder, cumulative_sum_value)
+    )
+
+
+def _cum_sum_expr(builder, cs):
+    from .builder import VVal, SVal, SymExpr
+
+    if isinstance(builder.perm_challenges[0], SymExpr):
+        return SymExpr(0)
+    if isinstance(builder.perm_challenges[0], SVal):
+        return SVal(cs)
+    arr = bb.to_monty(jnp.asarray(np.array(cs, dtype=np.uint32)))
+    return VVal(arr, True)
+
+
+def _alpha_counts(chip, machine):
+    def max_bus(interactions):
+        idxs = [i.bus.index for i in interactions]
+        return (max(idxs) + 1) if idxs else 1
+
+    return (
+        max_bus(chip.local_sends() + chip.local_receives()),
+        max_bus(chip.global_sends(machine) + chip.global_receives(machine)),
+    )

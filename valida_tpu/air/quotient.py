@@ -1,0 +1,127 @@
+"""Quotient polynomial evaluation and chunk decomposition.
+
+TPU-native re-design of `machine/src/quotient.rs`: instead of a packed SIMD
+row loop, the entire quotient domain is evaluated at once as fused XLA array
+ops — every constraint is a vector expression over [Q]-length Montgomery
+arrays, `next` rows are wraparound rolls, and the zerofier inverse is a
+closed-form periodic vector.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext as extf
+from ..poly import ntt as nttm
+from ..poly.domain import ZerofierOnCoset, coset_points
+from .builder import VectorBuilder, VVal, SymbolicBuilder
+from .lookup import eval_permutation_constraints
+
+
+def get_log_quotient_degree(machine, chip) -> int:
+    """ceil(log2(max(deg, 3) - 1)) — `symbolic_builder.rs:17-30`."""
+    b = SymbolicBuilder(machine, chip)
+    chip.eval(b)
+    deg = max(b.max_degree, 3)
+    return max((deg - 2).bit_length(), 0) if deg > 1 else 0
+
+
+def _ext_cols_to_vvals(mat_m, n_ext):
+    """[Q, n_ext*5] base monty -> list of n_ext VVal ext values [Q,5]."""
+    out = []
+    for i in range(n_ext):
+        out.append(VVal(mat_m[:, i * 5 : (i + 1) * 5], True))
+    return out
+
+
+def quotient_values(machine, chip, log_degree, log_quotient_degree,
+                    prep_lde, main_lde, perm_lde, cumulative_sum,
+                    perm_challenges, alpha, pcs_shift, log_blowup):
+    """Evaluate the folded constraint polynomial / Z_H on the quotient
+    domain (natural order).  LDE inputs are Montgomery, natural order,
+    height N·2^log_blowup.  Returns ext array [N·2^qd, 5] monty."""
+    qd = log_quotient_degree
+    stride = 1 << (log_blowup - qd)
+    q_size = 1 << (log_degree + qd)
+    next_step = 1 << qd
+
+    main = main_lde[::stride]
+    perm = perm_lde[::stride]
+    prep = prep_lde[::stride] if prep_lde is not None else None
+
+    def window(arr):
+        if arr is None:
+            return [], []
+        local = [VVal(arr[:, c], False) for c in range(arr.shape[1])]
+        rolled = jnp.roll(arr, -next_step, axis=0)
+        nxt = [VVal(rolled[:, c], False) for c in range(arr.shape[1])]
+        return local, nxt
+
+    main_local, main_next = window(main)
+    prep_local, prep_next = window(prep)
+
+    n_perm_ext = perm.shape[1] // 5
+    perm_rolled = jnp.roll(perm, -next_step, axis=0)
+    perm_local = _ext_cols_to_vvals(perm, n_perm_ext)
+    perm_next = _ext_cols_to_vvals(perm_rolled, n_perm_ext)
+
+    zc = ZerofierOnCoset(log_degree, qd, pcs_shift)
+    xs = jnp.asarray(coset_points(log_degree + qd, pcs_shift))
+    g_sub = bb.two_adic_generator(log_degree)
+    sub_last = bb.monty_scalar(bb.h_inv(g_sub))
+    is_transition = VVal(bb.sub(xs, jnp.uint32(sub_last)), False)
+    is_first = VVal(zc.lagrange_basis_unnormalized(0), False)
+    is_last = VVal(zc.lagrange_basis_unnormalized((1 << log_degree) - 1), False)
+
+    def ext_const(e):
+        return VVal(
+            bb.to_monty(jnp.asarray(np.array(e, dtype=np.uint32))), True
+        )
+
+    builder = VectorBuilder(
+        machine,
+        main_local=main_local,
+        main_next=main_next,
+        prep_local=prep_local,
+        prep_next=prep_next,
+        perm_local=perm_local,
+        perm_next=perm_next,
+        perm_challenges=[ext_const(c) for c in perm_challenges],
+        is_first_row=is_first,
+        is_last_row=is_last,
+        is_transition=is_transition,
+        alpha=ext_const(alpha),
+        mode="quotient",
+    )
+    chip.eval(builder)
+    eval_permutation_constraints(chip, builder, cumulative_sum)
+
+    acc = builder.accumulator
+    if acc is None:
+        return jnp.zeros((q_size, 5), dtype=jnp.uint32)
+    zinv = zc.zerofier_inv_evals()
+    return extf.ext_mul_base(acc._as_ext(), zinv)
+
+
+def decompose_and_flatten(q_vals, pcs_shift, log_quotient_degree):
+    """Quotient evals on coset shift·K (size N·2^qd, natural, ext monty)
+    -> chunk matrix [N, 2^qd * 5] canonical, chunks in bit-reversed order.
+
+    Chunk_i holds coefficients j = i (mod 2^qd) of Q, evaluated on the
+    coset shift^{2^qd}·H_N; verifier recombines Q(z) = sum_i z^i *
+    chunk_{rev(i)}(z^{2^qd}) (`machine/src/verify.rs:94-105`).
+    """
+    qd = log_quotient_degree
+    q = q_vals.shape[0]
+    n = q >> qd
+    coeffs = nttm.coset_intt(q_vals, pcs_shift)  # [Q, 5]
+    shift_chunk = bb.h_exp(pcs_shift, 1 << qd)
+    chunks = []
+    rev = nttm.bitrev_indices(qd) if qd > 0 else np.array([0])
+    chunk_list = [coeffs[i :: 1 << qd] for i in range(1 << qd)]
+    for i in np.asarray(rev):
+        evals = nttm.coset_eval_from_coeffs(chunk_list[int(i)], shift_chunk)
+        chunks.append(np.asarray(bb.from_monty(evals)))
+    return np.concatenate(chunks, axis=1).reshape(n, (1 << qd) * 5)

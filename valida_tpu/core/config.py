@@ -1,0 +1,40 @@
+"""Prover configuration (mirrors `machine/src/config.rs` + the CLI's
+concrete instantiation at `basic/src/bin/valida.rs:356-398`)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..commit import FriConfig, TwoAdicFriPcs
+from ..crypto.challenger import DuplexChallenger
+from ..field import babybear as bb
+
+
+@dataclasses.dataclass
+class StarkConfig:
+    pcs: TwoAdicFriPcs
+    debug_checks: bool = True  # row-wise constraint + bus-balance checking
+
+    def challenger(self) -> DuplexChallenger:
+        return DuplexChallenger()
+
+
+def default_config(num_queries: int = 40, proof_of_work_bits: int = 8,
+                   log_blowup: int = 1, debug_checks: bool = True) -> StarkConfig:
+    """The reference CLI's parameters: blowup 2, 40 queries, 8-bit PoW."""
+    fri = FriConfig(
+        log_blowup=log_blowup,
+        num_queries=num_queries,
+        proof_of_work_bits=proof_of_work_bits,
+    )
+    return StarkConfig(pcs=TwoAdicFriPcs(fri, coset_shift=bb.GENERATOR),
+                       debug_checks=debug_checks)
+
+
+def test_config(debug_checks: bool = True) -> StarkConfig:
+    """Reduced-security config for fast tests."""
+    return default_config(num_queries=4, proof_of_work_bits=2,
+                          debug_checks=debug_checks)
+
+
+test_config.__test__ = False  # not a pytest test when star-imported
