@@ -23,3 +23,9 @@ if os.environ.get("VALIDA_TPU_TESTS_ON_TPU", "0") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # run the proving pipeline on the numpy backend by default: identical
+    # code paths, no per-op dispatch/compile overhead on host
+    from valida_tpu import backend
+
+    backend.set_backend("numpy")

@@ -1,0 +1,84 @@
+"""BasicMachine golden tests: the reference's fib(25) program with its
+exact execution-profile assertions (`basic/tests/test_prover.rs:473-487`),
+interpreted and proved end-to-end."""
+
+import numpy as np
+import pytest
+
+from valida_tpu.core.program import ProgramROM, InstructionWord, Operands
+from valida_tpu.core import opcodes as OC
+from valida_tpu.core.advice import FixedAdviceProvider
+from valida_tpu.core.config import test_config
+from valida_tpu.machine.basic import BasicMachine
+
+B = 24  # bytes per instruction
+
+
+def iw(opcode, a=0, b=0, c=0, d=0, e=0):
+    return InstructionWord(opcode, Operands((a, b, c, d, e)))
+
+
+def fib_program():
+    """Hand-assembled fib(25) (`basic/tests/test_prover.rs:35-188`)."""
+    fib_bb0 = 8 * B
+    fib_bb0_1 = 13 * B
+    fib_bb0_2 = 15 * B
+    fib_bb0_3 = 19 * B
+    fib_bb0_4 = 21 * B
+    return [
+        # main
+        iw(OC.IMM32, -4, 0, 0, 0, 0),
+        iw(OC.IMM32, -8, 0, 0, 0, 25),
+        iw(OC.ADD32, -16, -8, 0, 0, 1),
+        iw(OC.IMM32, -20, 0, 0, 0, 28),
+        iw(OC.JAL, -28, fib_bb0, -28, 0, 0),
+        iw(OC.ADD32, -12, -24, 0, 0, 1),
+        iw(OC.ADD32, 4, -12, 0, 0, 1),
+        iw(OC.STOP),
+        # fib:
+        iw(OC.ADD32, -4, 12, 0, 0, 1),
+        iw(OC.IMM32, -8, 0, 0, 0, 0),
+        iw(OC.IMM32, -12, 0, 0, 0, 1),
+        iw(OC.IMM32, -16, 0, 0, 0, 0),
+        iw(OC.BEQ, fib_bb0_1, 0, 0, 0, 0),
+        # .LBB0_1:
+        iw(OC.BNE, fib_bb0_2, -16, -4, 0, 0),
+        iw(OC.BEQ, fib_bb0_4, 0, 0, 0, 0),
+        # .LBB0_2:
+        iw(OC.ADD32, -20, -8, -12, 0, 0),
+        iw(OC.ADD32, -8, -12, 0, 0, 1),
+        iw(OC.ADD32, -12, -20, 0, 0, 1),
+        iw(OC.BEQ, fib_bb0_3, 0, 0, 0, 0),
+        # .LBB0_3:
+        iw(OC.ADD32, -16, -16, 1, 0, 1),
+        iw(OC.BEQ, fib_bb0_1, 0, 0, 0, 0),
+        # .LBB0_4:
+        iw(OC.ADD32, 4, -8, 0, 0, 1),
+        iw(OC.JALV, -4, 0, 8, 0, 0),
+    ]
+
+
+def run_fib():
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(fib_program()))
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    m.run(advice=FixedAdviceProvider.empty())
+    return m
+
+
+def test_fib_interpreter_profile():
+    m = run_fib()
+    assert m.cpu().clock == 192
+    assert len(m.cpu().operations) == 192
+    assert sum(len(v) for v in m.mem().operations.values()) == 401
+    assert len(m.add_u32().operations) == 105
+    # return value at fp+4: fib(25) = 75025 = Word([0, 1, 37, 17])
+    assert m.mem().cells[0x1000 + 4] == 75025
+
+
+def test_fib_prove_verify():
+    m = run_fib()
+    config = test_config()
+    proof = m.prove(config)
+    m.verify(config, proof)

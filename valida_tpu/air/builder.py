@@ -24,6 +24,7 @@ import numpy as np
 
 from ..field import babybear as bb
 from ..field import ext as extf
+from ..backend import xp_of
 
 
 # ---------------------------------------------------------------------------
@@ -73,7 +74,7 @@ class VVal:
 
     @staticmethod
     def const(c: int) -> "VVal":
-        return VVal(jnp.uint32(bb.monty_scalar(c % bb.P)), False)
+        return VVal(np.uint32(bb.monty_scalar(c % bb.P)), False)
 
     @staticmethod
     def _coerce(o):
@@ -84,11 +85,12 @@ class VVal:
     def _as_ext(self):
         if self.is_ext:
             return self.arr
-        base = self.arr
+        xp = xp_of(self.arr)
+        base = xp.asarray(self.arr)
         if base.ndim == 0:
             base = base[None]
-        out = jnp.zeros(base.shape + (5,), dtype=jnp.uint32)
-        return out.at[..., 0].set(base)
+        z = xp.zeros(base.shape, dtype=np.uint32)
+        return xp.stack([base, z, z, z, z], axis=-1)
 
     def __add__(self, o):
         o = VVal._coerce(o)
@@ -112,10 +114,10 @@ class VVal:
         if self.is_ext and o.is_ext:
             return VVal(extf.ext_mul(self.arr, o.arr), True)
         if self.is_ext:
-            base = o.arr[..., None] if o.arr.ndim else o.arr
+            base = o.arr[..., None] if getattr(o.arr, "ndim", 0) else o.arr
             return VVal(bb.mul(self.arr, base), True)
         if o.is_ext:
-            base = self.arr[..., None] if self.arr.ndim else self.arr
+            base = self.arr[..., None] if getattr(self.arr, "ndim", 0) else self.arr
             return VVal(bb.mul(o.arr, base), True)
         return VVal(bb.mul(self.arr, o.arr), False)
 
@@ -176,6 +178,12 @@ class _Filtered:
         self.b = builder
         self.cond = condition
 
+    def when(self, condition):
+        return _Filtered(self.b, self.cond * condition)
+
+    def when_ne(self, x, y):
+        return _Filtered(self.b, self.cond * (x - y))
+
     def assert_zero(self, e):
         self.b.assert_zero(self.cond * e)
 
@@ -193,9 +201,13 @@ class BaseBuilder:
     selector values and implement assert_zero."""
 
     machine = None
+    trace_height = None  # set by evaluation contexts; None in symbolic mode
 
     def when(self, condition):
         return _Filtered(self, condition)
+
+    def when_ne(self, x, y):
+        return _Filtered(self, x - y)
 
     def when_transition(self):
         return _Filtered(self, self.is_transition)
@@ -239,6 +251,7 @@ class SymbolicBuilder(BaseBuilder):
         self.is_first_row = SymExpr(1)
         self.is_last_row = SymExpr(1)
         self.is_transition = SymExpr(0)
+        self.trace_height = 1
         self.max_degree = 0
 
     def const(self, c):
@@ -258,8 +271,9 @@ class VectorBuilder(BaseBuilder):
     def __init__(self, machine, *, main_local, main_next, prep_local,
                  prep_next, perm_local, perm_next, perm_challenges,
                  is_first_row, is_last_row, is_transition, alpha=None,
-                 mode="quotient"):
+                 mode="quotient", trace_height=None):
         self.machine = machine
+        self.trace_height = trace_height
         self.main_local = main_local
         self.main_next = main_next
         self.preprocessed_local = prep_local
@@ -295,8 +309,10 @@ class ScalarBuilder(BaseBuilder):
 
     def __init__(self, machine, *, main_local, main_next, prep_local,
                  prep_next, perm_local, perm_next, perm_challenges,
-                 is_first_row, is_last_row, is_transition, alpha):
+                 is_first_row, is_last_row, is_transition, alpha,
+                 trace_height=None):
         self.machine = machine
+        self.trace_height = trace_height
         self.main_local = main_local
         self.main_next = main_next
         self.preprocessed_local = prep_local

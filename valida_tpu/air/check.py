@@ -10,7 +10,6 @@ detector", SURVEY.md §5.2).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..field import babybear as bb
 from ..field import ext as extf
@@ -22,11 +21,11 @@ def check_constraints(machine, chip, main_trace, perm_trace, perm_challenges,
                       cumulative_sum_value):
     """Assert every constraint of `chip` vanishes on all trace rows."""
     n = int(main_trace.shape[0])
-    main_m = bb.to_monty(jnp.asarray(main_trace))
+    main_m = bb.to_monty(np.asarray(main_trace))
 
     def window(arr):
         local = [VVal(arr[:, c], False) for c in range(arr.shape[1])]
-        rolled = jnp.roll(arr, -1, axis=0)
+        rolled = np.roll(arr, -1, axis=0)
         nxt = [VVal(rolled[:, c], False) for c in range(arr.shape[1])]
         return local, nxt
 
@@ -40,22 +39,23 @@ def check_constraints(machine, chip, main_trace, perm_trace, perm_challenges,
             prep = np.concatenate(
                 [prep, np.zeros((n - prep.shape[0], prep.shape[1]), dtype=prep.dtype)]
             )
-        prep_local, prep_next = window(bb.to_monty(jnp.asarray(prep[:n])))
+        prep_local, prep_next = window(bb.to_monty(np.asarray(prep[:n])))
 
+    perm_trace = np.asarray(perm_trace)
     k = perm_trace.shape[1]
     perm_local = [VVal(perm_trace[:, i], True) for i in range(k)]
-    perm_rolled = jnp.roll(perm_trace, -1, axis=0)
+    perm_rolled = np.roll(perm_trace, -1, axis=0)
     perm_next = [VVal(perm_rolled[:, i], True) for i in range(k)]
 
-    ones = jnp.uint32(bb.monty_scalar(1))
-    zeros = jnp.uint32(0)
+    ones = np.uint32(bb.monty_scalar(1))
+    zeros = np.uint32(0)
     idx = np.arange(n)
-    is_first = VVal(jnp.where(jnp.asarray(idx == 0), ones, zeros), False)
-    is_last = VVal(jnp.where(jnp.asarray(idx == n - 1), ones, zeros), False)
-    is_transition = VVal(jnp.where(jnp.asarray(idx < n - 1), ones, zeros), False)
+    is_first = VVal(np.where(idx == 0, ones, zeros), False)
+    is_last = VVal(np.where(idx == n - 1, ones, zeros), False)
+    is_transition = VVal(np.where(idx < n - 1, ones, zeros), False)
 
     def ext_const(e):
-        return VVal(bb.to_monty(jnp.asarray(np.array(e, dtype=np.uint32))), True)
+        return VVal(bb.to_monty(np.array(e, dtype=np.uint32)), True)
 
     builder = VectorBuilder(
         machine,
@@ -70,6 +70,7 @@ def check_constraints(machine, chip, main_trace, perm_trace, perm_challenges,
         is_last_row=is_last,
         is_transition=is_transition,
         mode="debug",
+        trace_height=n,
     )
     chip.eval(builder)
     eval_permutation_constraints(chip, builder, cumulative_sum_value)

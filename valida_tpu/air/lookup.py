@@ -22,6 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..backend import asarray, is_jax, xp_of
 from ..field import babybear as bb
 from ..field import ext as extf
 from .types import SEND, RECEIVE, Interaction
@@ -45,27 +46,27 @@ def _interaction_rlc_device(interaction, betas_host, alpha_host, prep_m, main_m)
 
     prep_m / main_m: Montgomery column-indexable arrays [N, C] (or None).
     """
+    xp = xp_of(main_m)
     n = main_m.shape[0]
-    acc = jnp.zeros((n, 5), dtype=jnp.uint32)
+    acc = xp.zeros((n, 5), dtype=np.uint32)
     for j, field in enumerate(interaction.fields):
         fvals = _apply_vpcol_device(field, prep_m, main_m)  # [N] base monty
-        beta_j = bb.to_monty(
-            jnp.asarray(np.array(betas_host[j], dtype=np.uint32))
-        )  # [5]
+        beta_j = bb.to_monty(np.array(betas_host[j], dtype=np.uint32))  # [5]
         acc = bb.add(acc, bb.mul(fvals[:, None], beta_j[None, :]))
-    alpha_m = bb.to_monty(jnp.asarray(np.array(alpha_host, dtype=np.uint32)))
+    alpha_m = bb.to_monty(np.array(alpha_host, dtype=np.uint32))
     return bb.add(acc, alpha_m[None, :])
 
 
 def _apply_vpcol_device(vp, prep_m, main_m):
+    xp = xp_of(main_m)
     n = main_m.shape[0]
-    acc = jnp.full((n,), bb.monty_scalar(vp.constant), dtype=jnp.uint32)
+    acc = xp.full((n,), np.uint32(bb.monty_scalar(vp.constant)), dtype=np.uint32)
     for (trace, idx), w in vp.weights:
         col = main_m[:, idx] if trace == "main" else prep_m[:, idx]
         if w == 1:
             acc = bb.add(acc, col)
         else:
-            acc = bb.add(acc, bb.mul(col, jnp.uint32(bb.monty_scalar(w))))
+            acc = bb.add(acc, bb.mul(col, np.uint32(bb.monty_scalar(w))))
     return acc
 
 
@@ -78,7 +79,7 @@ def generate_permutation_trace(machine, chip, main_trace, challenges):
     interactions = chip.all_interactions(machine)
     alphas_local, alphas_global = rlc_alphas(chip, machine, challenges)
     n = int(main_trace.shape[0])
-    main_m = bb.to_monty(jnp.asarray(main_trace))
+    main_m = bb.to_monty(asarray(main_trace))
     prep = chip.preprocessed_trace()
     prep_m = None
     if prep is not None:
@@ -86,7 +87,7 @@ def generate_permutation_trace(machine, chip, main_trace, challenges):
         if prep.shape[0] < n:  # pad preprocessed to trace height
             pad = np.zeros((n - prep.shape[0], prep.shape[1]), dtype=prep.dtype)
             prep = np.concatenate([prep, pad], axis=0)
-        prep_m = bb.to_monty(jnp.asarray(prep[:n]))
+        prep_m = bb.to_monty(asarray(prep[:n]))
 
     betas = extf.e_powers(challenges[2], max((len(i.fields) for i in interactions), default=1))
 
@@ -111,11 +112,19 @@ def generate_permutation_trace(machine, chip, main_trace, challenges):
             if itype == RECEIVE:
                 t = bb.neg(t)
             terms = t if terms is None else bb.add(terms, t)
-        phi = jax.lax.associative_scan(bb.add, terms, axis=0)
+        if is_jax(terms):
+            phi = jax.lax.associative_scan(bb.add, terms, axis=0)
+        else:
+            # host path: values < p, so a uint64 cumsum stays exact up to
+            # 2^33 rows
+            phi = (np.cumsum(terms.astype(np.uint64), axis=0) % np.uint64(bb.P)
+                   ).astype(np.uint32)
+        xp = xp_of(phi)
     else:
-        phi = jnp.zeros((n, 5), dtype=jnp.uint32)
+        xp = xp_of(main_m)
+        phi = xp.zeros((n, 5), dtype=np.uint32)
 
-    perm = jnp.stack(cols + [phi], axis=1) if cols else phi[:, None, :]
+    perm = xp.stack(cols + [phi], axis=1) if cols else phi[:, None, :]
     return perm
 
 
@@ -205,7 +214,9 @@ def _cum_sum_expr(builder, cs):
         return SymExpr(0)
     if isinstance(builder.perm_challenges[0], SVal):
         return SVal(cs)
-    arr = bb.to_monty(jnp.asarray(np.array(cs, dtype=np.uint32)))
+    sample = builder.perm_challenges[0].arr
+    xp = xp_of(sample)
+    arr = bb.to_monty(xp.asarray(np.array(cs, dtype=np.uint32)))
     return VVal(arr, True)
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..backend import xp_of
 from ..field import babybear as bb
 from ..field import ext as extf
 from ..poly import ntt as nttm
@@ -50,12 +51,13 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
     main = main_lde[::stride]
     perm = perm_lde[::stride]
     prep = prep_lde[::stride] if prep_lde is not None else None
+    xp = xp_of(main)
 
     def window(arr):
         if arr is None:
             return [], []
         local = [VVal(arr[:, c], False) for c in range(arr.shape[1])]
-        rolled = jnp.roll(arr, -next_step, axis=0)
+        rolled = xp.roll(arr, -next_step, axis=0)
         nxt = [VVal(rolled[:, c], False) for c in range(arr.shape[1])]
         return local, nxt
 
@@ -63,21 +65,23 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
     prep_local, prep_next = window(prep)
 
     n_perm_ext = perm.shape[1] // 5
-    perm_rolled = jnp.roll(perm, -next_step, axis=0)
+    perm_rolled = xp.roll(perm, -next_step, axis=0)
     perm_local = _ext_cols_to_vvals(perm, n_perm_ext)
     perm_next = _ext_cols_to_vvals(perm_rolled, n_perm_ext)
 
     zc = ZerofierOnCoset(log_degree, qd, pcs_shift)
-    xs = jnp.asarray(coset_points(log_degree + qd, pcs_shift))
+    xs = xp.asarray(coset_points(log_degree + qd, pcs_shift))
     g_sub = bb.two_adic_generator(log_degree)
     sub_last = bb.monty_scalar(bb.h_inv(g_sub))
-    is_transition = VVal(bb.sub(xs, jnp.uint32(sub_last)), False)
-    is_first = VVal(zc.lagrange_basis_unnormalized(0), False)
-    is_last = VVal(zc.lagrange_basis_unnormalized((1 << log_degree) - 1), False)
+    is_transition = VVal(bb.sub(xs, np.uint32(sub_last)), False)
+    is_first = VVal(xp.asarray(zc.lagrange_basis_unnormalized(0)), False)
+    is_last = VVal(
+        xp.asarray(zc.lagrange_basis_unnormalized((1 << log_degree) - 1)), False
+    )
 
     def ext_const(e):
         return VVal(
-            bb.to_monty(jnp.asarray(np.array(e, dtype=np.uint32))), True
+            bb.to_monty(xp.asarray(np.array(e, dtype=np.uint32))), True
         )
 
     builder = VectorBuilder(
@@ -94,14 +98,15 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
         is_transition=is_transition,
         alpha=ext_const(alpha),
         mode="quotient",
+        trace_height=1 << log_degree,
     )
     chip.eval(builder)
     eval_permutation_constraints(chip, builder, cumulative_sum)
 
     acc = builder.accumulator
     if acc is None:
-        return jnp.zeros((q_size, 5), dtype=jnp.uint32)
-    zinv = zc.zerofier_inv_evals()
+        return xp.zeros((q_size, 5), dtype=np.uint32)
+    zinv = xp.asarray(zc.zerofier_inv_evals())
     return extf.ext_mul_base(acc._as_ext(), zinv)
 
 

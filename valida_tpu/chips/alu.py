@@ -1,0 +1,892 @@
+"""u32 ALU chip family: Add32, Sub32, Mul32, Div32, Lt32, Com32,
+Bitwise32, Shift32 — execution, trace generation, general-bus receives,
+and AIR constraints.
+
+Mirrors `alu_u32/src/*`.  Deviations (intended-design fixes, noted
+inline):
+  * Mul32 witnesses its r/s congruence quotients (the reference declares
+    but never populates them) and pins the counter's last row to the trace
+    height (the reference hard-codes 2^10, which only matches the minimum
+    trace).
+  * Shift32's power-of-two gadget uses the correct product form
+    2^s = (1+b0)(1+3b1)(1+15b2)·byte-select (the reference's gadget
+    multiplies bit*2^k factors, which vanish for any zero bit) and the
+    byte-select follows the big-endian word layout.
+  * SRA32 logs a Sra32 shift op (the reference logs Shr32, which would
+    unbalance the general bus for SRA).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..air.types import VPCol, Interaction
+from ..core import opcodes as OC
+from ..core.word import (
+    u32_to_bytes, MASK32, add_u32, sub_u32, mul_u32, mulhs_u32, mulhu_u32,
+    div_u32, sdiv_u32, shl_u32, shr_u32, sra_u32, to_signed,
+)
+from ..field import babybear as bb
+from .chip import Chip, IndexAllocator, pad_to_power_of_two
+
+
+def _read_b_c(m, ops, opcode, left_imm_allowed=False):
+    """Shared operand fetch: returns (b, c, imm, left_imm)."""
+    cpu = m.cpu()
+    clk = cpu.clock
+    imm = None
+    left_imm = False
+    if left_imm_allowed and ops.d() == 1:
+        b = ops.b() & MASK32
+        imm = b
+        left_imm = True
+    else:
+        b = m.mem().read(clk, (cpu.fp + ops.b()) & MASK32, True, cpu.pc,
+                         opcode, 0)
+    if ops.is_imm() == 1:
+        c = ops.c() & MASK32
+        imm = c
+    else:
+        c = m.mem().read(clk, (cpu.fp + ops.c()) & MASK32, True, cpu.pc,
+                         opcode, 1)
+    return b, c, imm, left_imm
+
+
+def _finish(m, ops, opcode, a, imm, left_imm=False, range_check=True):
+    cpu = m.cpu()
+    m.mem().write(cpu.clock, (cpu.fp + ops.a()) & MASK32, a, True)
+    if left_imm:
+        cpu.push_left_imm_bus_op(imm, opcode, ops)
+    else:
+        cpu.push_bus_op(imm, opcode, ops)
+    if range_check:
+        m.range().range_check_word(a)
+
+
+def _word_cols(rows, i, cols, value):
+    for k, byte in enumerate(u32_to_bytes(value)):
+        rows[i, cols[k]] = byte
+
+
+# ---------------------------------------------------------------------------
+# Add32
+# ---------------------------------------------------------------------------
+
+_a = IndexAllocator()
+ADD_IN1 = _a.word()
+ADD_IN2 = _a.word()
+ADD_CARRY = _a.array(3)
+ADD_OUT = _a.word()
+ADD_IS_REAL = _a.scalar()
+NUM_ADD_COLS = _a.width
+
+
+class Add32Chip(Chip):
+    name = "add_u32"
+
+    def __init__(self):
+        self.operations = []  # (a, b, c)
+
+    def width(self):
+        return NUM_ADD_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        rows = np.zeros((max(n, 1), NUM_ADD_COLS), dtype=np.uint32)
+        for i, (a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, ADD_IN1, b)
+            _word_cols(rows, i, ADD_IN2, c)
+            _word_cols(rows, i, ADD_OUT, a)
+            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
+            carry = 0
+            for k, col in zip([3, 2, 1], ADD_CARRY):
+                carry = 1 if bb_[k] + cb[k] + carry > 255 else 0
+                rows[i, col] = carry
+            rows[i, ADD_IS_REAL] = 1
+        return pad_to_power_of_two(rows) if n else rows
+
+    def global_sends(self, machine):
+        return [
+            Interaction(fields=[VPCol.single_main(c)],
+                        count=VPCol.single_main(ADD_IS_REAL),
+                        bus=machine.range_bus())
+            for c in ADD_OUT
+        ]
+
+    def global_receives(self, machine):
+        fields = [VPCol.const(OC.ADD32)]
+        fields += [VPCol.single_main(c) for c in ADD_IN1 + ADD_IN2 + ADD_OUT]
+        return [Interaction(fields=fields,
+                            count=VPCol.single_main(ADD_IS_REAL),
+                            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        base = 256
+        carries = [local[c] for c in ADD_CARRY]
+        ov = [
+            local[ADD_IN1[3]] + local[ADD_IN2[3]] - local[ADD_OUT[3]],
+            local[ADD_IN1[2]] + local[ADD_IN2[2]] - local[ADD_OUT[2]] + carries[0],
+            local[ADD_IN1[1]] + local[ADD_IN2[1]] - local[ADD_OUT[1]] + carries[1],
+            local[ADD_IN1[0]] + local[ADD_IN2[0]] - local[ADD_OUT[0]] + carries[2],
+        ]
+        for o in ov:
+            b.assert_zero(o * (o - base))
+        for o, c in zip(ov[:3], carries):
+            b.assert_zero(o * (c - 1) + (o - base) * c)
+        for c in carries:
+            b.assert_bool(c)
+
+
+def ex_add32(m, ops):
+    b, c, imm, _ = _read_b_c(m, ops, OC.ADD32)
+    a = add_u32(b, c)
+    m.add_u32().operations.append((a, b, c))
+    _finish(m, ops, OC.ADD32, a, imm)
+
+
+# ---------------------------------------------------------------------------
+# Sub32
+# ---------------------------------------------------------------------------
+
+_s = IndexAllocator()
+SUB_IN1 = _s.word()
+SUB_IN2 = _s.word()
+SUB_BORROW = _s.array(3)
+SUB_OUT = _s.word()
+SUB_IS_REAL = _s.scalar()
+NUM_SUB_COLS = _s.width
+
+
+class Sub32Chip(Chip):
+    name = "sub_u32"
+
+    def __init__(self):
+        self.operations = []
+
+    def width(self):
+        return NUM_SUB_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        rows = np.zeros((max(n, 1), NUM_SUB_COLS), dtype=np.uint32)
+        for i, (a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, SUB_IN1, b)
+            _word_cols(rows, i, SUB_IN2, c)
+            _word_cols(rows, i, SUB_OUT, a)
+            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
+            borrow = 0
+            for k, col in zip([3, 2, 1], SUB_BORROW):
+                borrow = 1 if bb_[k] - borrow < cb[k] else 0
+                rows[i, col] = borrow
+            rows[i, SUB_IS_REAL] = 1
+        return pad_to_power_of_two(rows) if n else rows
+
+    def global_sends(self, machine):
+        return [
+            Interaction(fields=[VPCol.single_main(c)],
+                        count=VPCol.single_main(SUB_IS_REAL),
+                        bus=machine.range_bus())
+            for c in SUB_OUT
+        ]
+
+    def global_receives(self, machine):
+        fields = [VPCol.const(OC.SUB32)]
+        fields += [VPCol.single_main(c) for c in SUB_IN1 + SUB_IN2 + SUB_OUT]
+        return [Interaction(fields=fields,
+                            count=VPCol.single_main(SUB_IS_REAL),
+                            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        base = 256
+        bw = [local[c] for c in SUB_BORROW]
+        b.assert_eq(local[SUB_OUT[3]],
+                    base * bw[0] + local[SUB_IN1[3]] - local[SUB_IN2[3]])
+        b.assert_eq(local[SUB_OUT[2]],
+                    base * bw[1] + local[SUB_IN1[2]] - local[SUB_IN2[2]] - bw[0])
+        b.assert_eq(local[SUB_OUT[1]],
+                    base * bw[2] + local[SUB_IN1[1]] - local[SUB_IN2[1]] - bw[1])
+        b.assert_eq(local[SUB_OUT[0]],
+                    local[SUB_IN1[0]] - local[SUB_IN2[0]] - bw[2])
+        for x in bw:
+            b.assert_bool(x)
+
+
+def ex_sub32(m, ops):
+    b, c, imm, _ = _read_b_c(m, ops, OC.SUB32)
+    a = sub_u32(b, c)
+    m.sub_u32().operations.append((a, b, c))
+    _finish(m, ops, OC.SUB32, a, imm)
+
+
+# ---------------------------------------------------------------------------
+# Mul32
+# ---------------------------------------------------------------------------
+
+_m = IndexAllocator()
+MUL_IN1 = _m.word()
+MUL_IN2 = _m.word()
+MUL_OUT = _m.word()
+MUL_R = _m.scalar()
+MUL_S = _m.scalar()
+MUL_IS_MUL = _m.scalar()
+MUL_IS_MULHS = _m.scalar()
+MUL_IS_MULHU = _m.scalar()
+MUL_COUNTER = _m.scalar()
+NUM_MUL_COLS = _m.width
+
+MUL_MIN_LENGTH = 1 << 10
+
+
+class Mul32Chip(Chip):
+    name = "mul_u32"
+
+    def __init__(self):
+        self.operations = []  # (kind, a, b, c)
+
+    def width(self):
+        return NUM_MUL_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        n2 = max(1 << max((n - 1).bit_length(), 0) if n else 1, MUL_MIN_LENGTH)
+        rows = np.zeros((n2, NUM_MUL_COLS), dtype=np.uint32)
+        flag = {"mul": MUL_IS_MUL, "mulhs": MUL_IS_MULHS, "mulhu": MUL_IS_MULHU}
+        for i, (kind, a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, MUL_IN1, b)
+            _word_cols(rows, i, MUL_IN2, c)
+            _word_cols(rows, i, MUL_OUT, a)
+            rows[i, flag[kind]] = 1
+            if kind == "mul":
+                # witness the congruence quotients (reference leaves 0)
+                bb_, cb, ab = u32_to_bytes(b), u32_to_bytes(c), u32_to_bytes(a)
+                pi = sum(
+                    (1 << (8 * (x + y))) * bb_[3 - x] * cb[3 - y]
+                    for x in range(4)
+                    for y in range(4)
+                    if x + y < 4
+                )
+                sigma = sum((1 << (8 * k)) * ab[3 - k] for k in range(4))
+                rows[i, MUL_R] = ((pi - sigma) // 2) % bb.P
+                pi_p = sum(
+                    (1 << (8 * (x + y))) * bb_[3 - x] * cb[3 - y]
+                    for x in range(2)
+                    for y in range(2)
+                    if x + y < 2
+                )
+                sigma_p = sum((1 << (8 * k)) * ab[3 - k] for k in range(2))
+                rows[i, MUL_S] = ((pi_p - sigma_p) // (1 << 16)) % bb.P
+        rows[:, MUL_COUNTER] = np.arange(1, n2 + 1, dtype=np.uint32)
+        return rows
+
+    def global_receives(self, machine):
+        opcode = VPCol(
+            [(("main", MUL_IS_MUL), OC.MUL32),
+             (("main", MUL_IS_MULHS), OC.MULHS32),
+             (("main", MUL_IS_MULHU), OC.MULHU32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in MUL_IN1 + MUL_IN2 + MUL_OUT]
+        return [Interaction(
+            fields=fields,
+            count=VPCol.sum_main([MUL_IS_MUL, MUL_IS_MULHS, MUL_IS_MULHU]),
+            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        nxt = b.main_next
+        base_m = [1, 1 << 8, 1 << 16, 1 << 24]
+
+        def pi_m(n_limbs, bases):
+            acc = None
+            for x in range(n_limbs):
+                for y in range(n_limbs):
+                    if x + y < n_limbs:
+                        t = bases[x + y] * local[MUL_IN1[3 - x]] * local[MUL_IN2[3 - y]]
+                        acc = t if acc is None else acc + t
+            return acc
+
+        def sigma_m(n_limbs, bases):
+            acc = None
+            for k in range(n_limbs):
+                t = bases[k] * local[MUL_OUT[3 - k]]
+                acc = t if acc is None else acc + t
+            return acc
+
+        # congruence checks gated on is_mul (mulhs/mulhu TODO as in ref)
+        is_mul = local[MUL_IS_MUL]
+        b.when(is_mul).assert_eq(pi_m(4, base_m), sigma_m(4, base_m) + local[MUL_R] * 2)
+        b.when(is_mul).assert_eq(
+            pi_m(2, base_m), sigma_m(2, base_m) + local[MUL_S] * (1 << 16)
+        )
+
+        # range-check counter (last row pinned to the actual trace height,
+        # not the reference's hard-coded 2^10)
+        b.when_first_row().assert_one(local[MUL_COUNTER])
+        cd = nxt[MUL_COUNTER] - local[MUL_COUNTER]
+        b.when_transition().assert_zero(cd * (cd - 1))
+        b.when_last_row().assert_eq(local[MUL_COUNTER], b.trace_height or (1 << 10))
+
+
+def _mul_exec(kind, opcode, fn):
+    def ex(m, ops):
+        b, c, imm, _ = _read_b_c(m, ops, opcode)
+        a = fn(b, c)
+        m.mul_u32().operations.append((kind, a, b, c))
+        _finish(m, ops, opcode, a, imm)
+
+    return ex
+
+
+ex_mul32 = _mul_exec("mul", OC.MUL32, mul_u32)
+ex_mulhs32 = _mul_exec("mulhs", OC.MULHS32, mulhs_u32)
+ex_mulhu32 = _mul_exec("mulhu", OC.MULHU32, mulhu_u32)
+
+
+# ---------------------------------------------------------------------------
+# Div32 (AIR stub, as in the reference)
+# ---------------------------------------------------------------------------
+
+_d = IndexAllocator()
+DIV_IN1 = _d.word()
+DIV_IN2 = _d.word()
+DIV_OUT = _d.word()
+DIV_IS_DIV = _d.scalar()
+DIV_IS_SDIV = _d.scalar()
+NUM_DIV_COLS = _d.width
+
+
+class Div32Chip(Chip):
+    name = "div_u32"
+
+    def __init__(self):
+        self.operations = []  # (kind, a, b, c)
+
+    def width(self):
+        return NUM_DIV_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        rows = np.zeros((max(n, 1), NUM_DIV_COLS), dtype=np.uint32)
+        flag = {"div": DIV_IS_DIV, "sdiv": DIV_IS_SDIV}
+        for i, (kind, a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, DIV_IN1, b)
+            _word_cols(rows, i, DIV_IN2, c)
+            _word_cols(rows, i, DIV_OUT, a)
+            rows[i, flag[kind]] = 1
+        return pad_to_power_of_two(rows) if n else rows
+
+    def global_receives(self, machine):
+        opcode = VPCol(
+            [(("main", DIV_IS_DIV), OC.DIV32), (("main", DIV_IS_SDIV), OC.SDIV32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in DIV_IN1 + DIV_IN2 + DIV_OUT]
+        return [Interaction(
+            fields=fields,
+            count=VPCol.sum_main([DIV_IS_DIV, DIV_IS_SDIV]),
+            bus=machine.general_bus())]
+
+    def eval(self, b):
+        # reference AIR is a stub (div/stark.rs:18-21); see SURVEY §2.3
+        pass
+
+
+def _div_exec(kind, opcode, fn):
+    def ex(m, ops):
+        b, c, imm, _ = _read_b_c(m, ops, opcode)
+        a = fn(b, c)
+        m.div_u32().operations.append((kind, a, b, c))
+        _finish(m, ops, opcode, a, imm)
+
+    return ex
+
+
+ex_div32 = _div_exec("div", OC.DIV32, div_u32)
+ex_sdiv32 = _div_exec("sdiv", OC.SDIV32, sdiv_u32)
+
+
+# ---------------------------------------------------------------------------
+# Lt32 (LT/LTE/SLT/SLE)
+# ---------------------------------------------------------------------------
+
+_l = IndexAllocator()
+LT_IN1 = _l.word()
+LT_IN2 = _l.word()
+LT_BYTE_FLAG = _l.array(4)
+LT_BITS = _l.array(9)
+LT_OUT = _l.scalar()
+LT_MULT = _l.scalar()
+LT_IS_LT = _l.scalar()
+LT_IS_LTE = _l.scalar()
+LT_IS_SLT = _l.scalar()
+LT_IS_SLE = _l.scalar()
+LT_DIFF_INV = _l.scalar()
+LT_TOP_BITS_1 = _l.array(8)
+LT_TOP_BITS_2 = _l.array(8)
+LT_DIFFERENT_SIGNS = _l.scalar()
+NUM_LT_COLS = _l.width
+
+
+class Lt32Chip(Chip):
+    name = "lt_u32"
+
+    def __init__(self):
+        self.operations = []  # (kind, a, b, c)
+
+    def width(self):
+        return NUM_LT_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        rows = np.zeros((max(n, 1), NUM_LT_COLS), dtype=np.uint32)
+        flag = {"lt": LT_IS_LT, "lte": LT_IS_LTE, "slt": LT_IS_SLT,
+                "sle": LT_IS_SLE}
+        for i, (kind, a, b, c) in enumerate(self.operations):
+            signed = kind in ("slt", "sle")
+            _word_cols(rows, i, LT_IN1, b)
+            _word_cols(rows, i, LT_IN2, c)
+            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
+            rows[i, LT_OUT] = u32_to_bytes(a)[3]
+            rows[i, flag[kind]] = 1
+            for nb in range(4):
+                if bb_[nb] != cb[nb]:
+                    z = 256 + bb_[nb] - cb[nb]
+                    for k in range(9):
+                        rows[i, LT_BITS[k]] = (z >> k) & 1
+                    rows[i, LT_BYTE_FLAG[nb]] = 1
+                    rows[i, LT_DIFF_INV] = bb.h_inv((bb_[nb] - cb[nb]) % bb.P)
+                    break
+            for k in range(8):
+                rows[i, LT_TOP_BITS_1[k]] = (bb_[0] >> k) & 1
+                rows[i, LT_TOP_BITS_2[k]] = (cb[0] >> k) & 1
+            if signed and ((bb_[0] >> 7) != (cb[0] >> 7)):
+                rows[i, LT_DIFFERENT_SIGNS] = 1
+            rows[i, LT_MULT] = 1
+        return pad_to_power_of_two(rows) if n else rows
+
+    def global_receives(self, machine):
+        opcode = VPCol(
+            [(("main", LT_IS_LT), OC.LT32), (("main", LT_IS_LTE), OC.LTE32),
+             (("main", LT_IS_SLT), OC.SLT32), (("main", LT_IS_SLE), OC.SLE32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in LT_IN1 + LT_IN2]
+        fields += [VPCol.const(0)] * 3 + [VPCol.single_main(LT_OUT)]
+        return [Interaction(fields=fields, count=VPCol.single_main(LT_MULT),
+                            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        base_2 = [1, 2, 4, 8, 16, 32, 64, 128, 256]
+        one = 1
+
+        bit_comp = None
+        for k in range(9):
+            t = base_2[k] * local[LT_BITS[k]]
+            bit_comp = t if bit_comp is None else bit_comp + t
+
+        flags = [local[LT_BYTE_FLAG[i]] for i in range(4)]
+        flag_sum = flags[0] + flags[1] + flags[2] + flags[3]
+        b.assert_bool(flag_sum)
+        b.when_ne(flags[0], one).assert_eq(local[LT_IN1[0]], local[LT_IN2[0]])
+        b.when_ne(flags[0] + flags[1], one).assert_eq(
+            local[LT_IN1[1]], local[LT_IN2[1]]
+        )
+        b.when_ne(flags[0] + flags[1] + flags[2], one).assert_eq(
+            local[LT_IN1[2]], local[LT_IN2[2]]
+        )
+        b.when_ne(flag_sum, one).assert_eq(local[LT_IN1[3]], local[LT_IN2[3]])
+        b.when_ne(flag_sum, one).assert_zero(bit_comp)
+
+        for i in range(4):
+            b.when(flags[i]).assert_eq(
+                256 + local[LT_IN1[i]] - local[LT_IN2[i]], bit_comp
+            )
+            b.when(flags[i]).assert_one(
+                (local[LT_IN1[i]] - local[LT_IN2[i]]) * local[LT_DIFF_INV]
+            )
+            b.assert_bool(flags[i])
+
+        top1 = None
+        top2 = None
+        for k in range(8):
+            t1 = base_2[k] * local[LT_TOP_BITS_1[k]]
+            t2 = base_2[k] * local[LT_TOP_BITS_2[k]]
+            top1 = t1 if top1 is None else top1 + t1
+            top2 = t2 if top2 is None else top2 + t2
+        b.assert_eq(top1, local[LT_IN1[0]])
+        b.assert_eq(top2, local[LT_IN2[0]])
+
+        is_signed = local[LT_IS_SLT] + local[LT_IS_SLE]
+        is_unsigned = one - is_signed
+        same_sign = one - local[LT_DIFFERENT_SIGNS]
+        are_equal = one - flag_sum
+
+        b.when(is_unsigned).assert_zero(local[LT_DIFFERENT_SIGNS])
+        b.when(is_signed).when_ne(
+            local[LT_TOP_BITS_1[7]], local[LT_TOP_BITS_2[7]]
+        ).assert_one(local[LT_DIFFERENT_SIGNS])
+        b.when(local[LT_DIFFERENT_SIGNS]).assert_one(flags[0])
+        b.when(local[LT_DIFFERENT_SIGNS]).assert_one(
+            local[LT_TOP_BITS_1[7]] + local[LT_TOP_BITS_2[7]]
+        )
+
+        b.assert_bool(local[LT_IS_LT])
+        b.assert_bool(local[LT_IS_LTE])
+        b.assert_bool(local[LT_IS_SLT])
+        b.assert_bool(local[LT_IS_SLE])
+        b.assert_bool(local[LT_IS_LT] + local[LT_IS_LTE] + local[LT_IS_SLT]
+                      + local[LT_IS_SLE])
+
+        # output truth table
+        b.when(local[LT_BITS[8]]).when(is_unsigned + same_sign).assert_zero(
+            local[LT_OUT]
+        )
+        b.when(local[LT_BITS[8]]).when(local[LT_DIFFERENT_SIGNS]).assert_one(
+            local[LT_OUT]
+        )
+        b.when_ne(local[LT_BITS[8]] + are_equal, one).when(
+            is_unsigned + same_sign
+        ).assert_one(local[LT_OUT])
+        b.when_ne(local[LT_BITS[8]] + are_equal, one).when(
+            local[LT_DIFFERENT_SIGNS]
+        ).assert_zero(local[LT_OUT])
+        b.when(are_equal).when(local[LT_IS_LTE] + local[LT_IS_SLE]).assert_one(
+            local[LT_OUT]
+        )
+        b.when(are_equal).when(local[LT_IS_LT] + local[LT_IS_SLT]).assert_zero(
+            local[LT_OUT]
+        )
+
+        for k in range(9):
+            b.assert_bool(local[LT_BITS[k]])
+        for k in range(8):
+            b.assert_bool(local[LT_TOP_BITS_1[k]])
+            b.assert_bool(local[LT_TOP_BITS_2[k]])
+
+
+def _lt_exec(kind, opcode, fn):
+    def ex(m, ops):
+        b, c, imm, left_imm = _read_b_c(m, ops, opcode, left_imm_allowed=True)
+        a = 1 if fn(b, c) else 0
+        m.lt_u32().operations.append((kind, a, b, c))
+        _finish(m, ops, opcode, a, imm, left_imm=left_imm, range_check=False)
+
+    return ex
+
+
+ex_lt32 = _lt_exec("lt", OC.LT32, lambda b, c: b < c)
+ex_lte32 = _lt_exec("lte", OC.LTE32, lambda b, c: b <= c)
+ex_slt32 = _lt_exec("slt", OC.SLT32, lambda b, c: to_signed(b) < to_signed(c))
+ex_sle32 = _lt_exec("sle", OC.SLE32, lambda b, c: to_signed(b) <= to_signed(c))
+
+
+# ---------------------------------------------------------------------------
+# Com32 (EQ32 / NE32)
+# ---------------------------------------------------------------------------
+
+_c = IndexAllocator()
+COM_IN1 = _c.word()
+COM_IN2 = _c.word()
+COM_DIFF = _c.scalar()
+COM_DIFF_INV = _c.scalar()
+COM_NOT_EQUAL = _c.scalar()
+COM_OUT = _c.scalar()
+COM_IS_NE = _c.scalar()
+COM_IS_EQ = _c.scalar()
+NUM_COM_COLS = _c.width
+
+
+class Com32Chip(Chip):
+    name = "com_u32"
+
+    def __init__(self):
+        self.operations = []  # (kind, a, b, c)
+
+    def width(self):
+        return NUM_COM_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        rows = np.zeros((max(n, 1), NUM_COM_COLS), dtype=np.uint32)
+        for i, (kind, a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, COM_IN1, b)
+            _word_cols(rows, i, COM_IN2, c)
+            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
+            diff = sum(((x - y) % bb.P) ** 2 for x, y in zip(bb_, cb)) % bb.P
+            rows[i, COM_DIFF] = diff
+            rows[i, COM_DIFF_INV] = bb.h_inv(diff) if diff else 0
+            rows[i, COM_NOT_EQUAL] = 1 if diff else 0
+            rows[i, COM_OUT] = u32_to_bytes(a)[3]
+            rows[i, COM_IS_NE if kind == "ne" else COM_IS_EQ] = 1
+        return pad_to_power_of_two(rows) if n else rows
+
+    def global_receives(self, machine):
+        opcode = VPCol(
+            [(("main", COM_IS_NE), OC.NE32), (("main", COM_IS_EQ), OC.EQ32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in COM_IN1 + COM_IN2]
+        fields += [VPCol.const(0)] * 3 + [VPCol.single_main(COM_OUT)]
+        return [Interaction(
+            fields=fields, count=VPCol.sum_main([COM_IS_NE, COM_IS_EQ]),
+            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        one = 1
+        diff = None
+        for i in range(4):
+            d = local[COM_IN1[i]] - local[COM_IN2[i]]
+            sq = d * d
+            diff = sq if diff is None else diff + sq
+        b.assert_eq(local[COM_DIFF], diff)
+        b.assert_bool(local[COM_NOT_EQUAL])
+        b.assert_eq(local[COM_NOT_EQUAL], local[COM_DIFF] * local[COM_DIFF_INV])
+        b.assert_zero((one - local[COM_NOT_EQUAL]) * local[COM_DIFF])
+        b.assert_bool(local[COM_IS_NE])
+        b.assert_bool(local[COM_IS_EQ])
+        b.assert_bool(local[COM_IS_NE] + local[COM_IS_EQ])
+        b.assert_eq(
+            local[COM_OUT],
+            local[COM_IS_NE] * local[COM_NOT_EQUAL]
+            + local[COM_IS_EQ] * (one - local[COM_NOT_EQUAL]),
+        )
+
+
+def _com_exec(kind, opcode, fn):
+    def ex(m, ops):
+        b, c, imm, _ = _read_b_c(m, ops, opcode)
+        a = 1 if fn(b, c) else 0
+        m.com_u32().operations.append((kind, a, b, c))
+        _finish(m, ops, opcode, a, imm, range_check=False)
+
+    return ex
+
+
+ex_ne32 = _com_exec("ne", OC.NE32, lambda b, c: b != c)
+ex_eq32 = _com_exec("eq", OC.EQ32, lambda b, c: b == c)
+
+
+# ---------------------------------------------------------------------------
+# Bitwise32 (AND/OR/XOR)
+# ---------------------------------------------------------------------------
+
+_bw = IndexAllocator()
+BW_IN1 = _bw.word()
+BW_IN2 = _bw.word()
+BW_BITS_1 = [_bw.array(8) for _ in range(4)]
+BW_BITS_2 = [_bw.array(8) for _ in range(4)]
+BW_OUT = _bw.word()
+BW_IS_AND = _bw.scalar()
+BW_IS_OR = _bw.scalar()
+BW_IS_XOR = _bw.scalar()
+NUM_BITWISE_COLS = _bw.width
+
+
+class Bitwise32Chip(Chip):
+    name = "bitwise_u32"
+
+    def __init__(self):
+        self.operations = []  # (kind, a, b, c)
+
+    def width(self):
+        return NUM_BITWISE_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        rows = np.zeros((max(n, 1), NUM_BITWISE_COLS), dtype=np.uint32)
+        flag = {"and": BW_IS_AND, "or": BW_IS_OR, "xor": BW_IS_XOR}
+        for i, (kind, a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, BW_IN1, b)
+            _word_cols(rows, i, BW_IN2, c)
+            _word_cols(rows, i, BW_OUT, a)
+            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
+            for byte in range(4):
+                for k in range(8):
+                    rows[i, BW_BITS_1[byte][k]] = (bb_[byte] >> k) & 1
+                    rows[i, BW_BITS_2[byte][k]] = (cb[byte] >> k) & 1
+            rows[i, flag[kind]] = 1
+        return pad_to_power_of_two(rows) if n else rows
+
+    def global_receives(self, machine):
+        opcode = VPCol(
+            [(("main", BW_IS_AND), OC.AND32), (("main", BW_IS_OR), OC.OR32),
+             (("main", BW_IS_XOR), OC.XOR32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in BW_IN1 + BW_IN2 + BW_OUT]
+        return [Interaction(
+            fields=fields,
+            count=VPCol.sum_main([BW_IS_AND, BW_IS_OR, BW_IS_XOR]),
+            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        base_2 = [1, 2, 4, 8, 16, 32, 64, 128]
+        for i in range(4):
+            byte1 = None
+            byte2 = None
+            band = None
+            for k in range(8):
+                t1 = base_2[k] * local[BW_BITS_1[i][k]]
+                t2 = base_2[k] * local[BW_BITS_2[i][k]]
+                ta = base_2[k] * local[BW_BITS_1[i][k]] * local[BW_BITS_2[i][k]]
+                byte1 = t1 if byte1 is None else byte1 + t1
+                byte2 = t2 if byte2 is None else byte2 + t2
+                band = ta if band is None else band + ta
+            b.assert_eq(local[BW_IN1[i]], byte1)
+            b.assert_eq(local[BW_IN2[i]], byte2)
+            bor = byte1 + byte2 - band
+            bxor = byte1 + byte2 - 2 * band
+            b.when(local[BW_IS_AND]).assert_eq(band, local[BW_OUT[i]])
+            b.when(local[BW_IS_OR]).assert_eq(bor, local[BW_OUT[i]])
+            b.when(local[BW_IS_XOR]).assert_eq(bxor, local[BW_OUT[i]])
+            for k in range(8):
+                b.assert_bool(local[BW_BITS_1[i][k]])
+                b.assert_bool(local[BW_BITS_2[i][k]])
+        b.assert_bool(local[BW_IS_AND])
+        b.assert_bool(local[BW_IS_OR])
+        b.assert_bool(local[BW_IS_XOR])
+        b.assert_bool(local[BW_IS_AND] + local[BW_IS_OR] + local[BW_IS_XOR])
+
+
+def _bw_exec(kind, opcode, fn):
+    def ex(m, ops):
+        b, c, imm, _ = _read_b_c(m, ops, opcode)
+        a = fn(b, c)
+        m.bitwise_u32().operations.append((kind, a, b, c))
+        _finish(m, ops, opcode, a, imm, range_check=False)
+
+    return ex
+
+
+ex_and32 = _bw_exec("and", OC.AND32, lambda b, c: b & c)
+ex_or32 = _bw_exec("or", OC.OR32, lambda b, c: b | c)
+ex_xor32 = _bw_exec("xor", OC.XOR32, lambda b, c: b ^ c)
+
+
+# ---------------------------------------------------------------------------
+# Shift32 (SHL/SHR/SRA via mul/div delegation)
+# ---------------------------------------------------------------------------
+
+_sh = IndexAllocator()
+SH_IN1 = _sh.word()
+SH_IN2 = _sh.word()
+SH_OUT = _sh.word()
+SH_BITS_2 = _sh.array(8)
+SH_TEMP_1 = _sh.scalar()
+SH_POW = _sh.word()
+SH_IS_SHL = _sh.scalar()
+SH_IS_SHR = _sh.scalar()
+SH_IS_SRA = _sh.scalar()
+NUM_SHIFT_COLS = _sh.width
+
+
+class Shift32Chip(Chip):
+    name = "shift_u32"
+
+    def __init__(self):
+        self.operations = []  # (kind, a, b, c)
+
+    def width(self):
+        return NUM_SHIFT_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_SHIFT_COLS), dtype=np.uint32)
+        # padding rows witness shift-by-zero: temp = 1, 2^0 = 1 at the LSB
+        rows[:, SH_TEMP_1] = 1
+        rows[:, SH_POW[3]] = 1
+        flag = {"shl": SH_IS_SHL, "shr": SH_IS_SHR, "sra": SH_IS_SRA}
+        for i, (kind, a, b, c) in enumerate(self.operations):
+            _word_cols(rows, i, SH_IN1, b)
+            _word_cols(rows, i, SH_IN2, c)
+            _word_cols(rows, i, SH_OUT, a)
+            low = c & 0xFF
+            for k in range(8):
+                rows[i, SH_BITS_2[k]] = (low >> k) & 1
+            rows[i, SH_TEMP_1] = 1 << (low & 7)
+            for col in SH_POW:
+                rows[i, col] = 0
+            _word_cols(rows, i, SH_POW, 1 << (c & 31))
+            rows[i, flag[kind]] = 1
+        return rows
+
+    def global_sends(self, machine):
+        opcode = VPCol(
+            [(("main", SH_IS_SHL), OC.MUL32), (("main", SH_IS_SHR), OC.DIV32),
+             (("main", SH_IS_SRA), OC.SDIV32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in SH_IN1 + SH_POW + SH_OUT]
+        return [Interaction(
+            fields=fields,
+            count=VPCol.sum_main([SH_IS_SHL, SH_IS_SHR, SH_IS_SRA]),
+            bus=machine.general_bus())]
+
+    def global_receives(self, machine):
+        opcode = VPCol(
+            [(("main", SH_IS_SHL), OC.SHL32), (("main", SH_IS_SHR), OC.SHR32),
+             (("main", SH_IS_SRA), OC.SRA32)]
+        )
+        fields = [opcode]
+        fields += [VPCol.single_main(c) for c in SH_IN1 + SH_IN2 + SH_OUT]
+        return [Interaction(
+            fields=fields,
+            count=VPCol.sum_main([SH_IS_SHL, SH_IS_SHR, SH_IS_SRA]),
+            bus=machine.general_bus())]
+
+    def eval(self, b):
+        local = b.main_local
+        one = 1
+        bit_base = [1, 2, 4, 8, 16, 32, 64, 128]
+        byte2 = None
+        for k in range(8):
+            t = bit_base[k] * local[SH_BITS_2[k]]
+            byte2 = t if byte2 is None else byte2 + t
+        b.assert_eq(local[SH_IN2[3]], byte2)
+        for k in range(8):
+            b.assert_bool(local[SH_BITS_2[k]])
+
+        # 2^(s mod 8) = (1 + b0)(1 + 3 b1)(1 + 15 b2)  [fixes the broken
+        # reference gadget, shift/stark.rs:46-49]
+        bits = [local[SH_BITS_2[k]] for k in range(5)]
+        temp = (one + bits[0]) * (one + 3 * bits[1]) * (one + 15 * bits[2])
+        b.assert_eq(local[SH_TEMP_1], temp)
+        # byte select for bits 3, 4 (big-endian word layout)
+        b.assert_eq(local[SH_POW[3]],
+                    local[SH_TEMP_1] * (one - bits[3]) * (one - bits[4]))
+        b.assert_eq(local[SH_POW[2]], local[SH_TEMP_1] * bits[3] * (one - bits[4]))
+        b.assert_eq(local[SH_POW[1]], local[SH_TEMP_1] * (one - bits[3]) * bits[4])
+        b.assert_eq(local[SH_POW[0]], local[SH_TEMP_1] * bits[3] * bits[4])
+
+        b.assert_bool(local[SH_IS_SHL])
+        b.assert_bool(local[SH_IS_SHR])
+        b.assert_bool(local[SH_IS_SRA])
+        b.assert_bool(local[SH_IS_SHL] + local[SH_IS_SHR] + local[SH_IS_SRA])
+
+
+def _shift_exec(kind, opcode, fn):
+    def ex(m, ops):
+        b, c, imm, _ = _read_b_c(m, ops, opcode)
+        a = fn(b, c)
+        d = 1 << (c & 31)
+        if kind == "shl":
+            m.mul_u32().operations.append(("mul", a, b, d))
+        elif kind == "shr":
+            m.div_u32().operations.append(("div", a, b, d))
+        else:
+            m.div_u32().operations.append(("sdiv", a, b, d))
+        m.shift_u32().operations.append((kind, a, b, c))
+        _finish(m, ops, opcode, a, imm, range_check=False)
+
+    return ex
+
+
+ex_shl32 = _shift_exec("shl", OC.SHL32, shl_u32)
+ex_shr32 = _shift_exec("shr", OC.SHR32, shr_u32)
+ex_sra32 = _shift_exec("sra", OC.SRA32, sra_u32)

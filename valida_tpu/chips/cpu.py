@@ -1,0 +1,562 @@
+"""CPU chip: execution state, core-ISA instruction semantics, trace
+generation, memory/general/program bus traffic, and the CPU AIR.
+
+Mirrors `cpu/src/{lib,columns,stark}.rs`.  Column order matches the
+reference's CpuCols struct exactly.  Deviations (intended-design fixes,
+flagged inline): pc-increment constraints also cover load/store/byte ops,
+and the program-bus send is enabled (the reference comments it out at
+cpu/src/lib.rs:138-158 because preprocessed openings were missing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..air.types import VPCol, Interaction
+from ..core import opcodes as OC
+from ..core.program import InstructionWord, Operands, BYTES_PER_INSTR
+from ..core.word import (
+    u32_to_bytes, bytes_to_u32, index_of_byte, addr_of_word, is_mul_4,
+    sign_extend_byte, update_byte, MASK32,
+)
+from ..field import babybear as bb
+from .chip import Chip, IndexAllocator
+
+_a = IndexAllocator()
+CLK = _a.scalar()
+PC = _a.scalar()
+FP = _a.scalar()
+OPCODE = _a.scalar()
+OPERANDS = _a.array(5)
+# opcode flags (order matches OpcodeFlagCols)
+IS_BUS_OP = _a.scalar()
+IS_BUS_OP_WITH_MEM = _a.scalar()
+IS_IMM_OP = _a.scalar()
+IS_LEFT_IMM_OP = _a.scalar()
+IS_LOAD = _a.scalar()
+IS_LOAD_U8 = _a.scalar()
+IS_LOAD_S8 = _a.scalar()
+IS_STORE = _a.scalar()
+IS_STORE_U8 = _a.scalar()
+IS_BEQ = _a.scalar()
+IS_BNE = _a.scalar()
+IS_JAL = _a.scalar()
+IS_JALV = _a.scalar()
+IS_IMM32 = _a.scalar()
+IS_ADVICE = _a.scalar()
+IS_STOP = _a.scalar()
+IS_LOADFP = _a.scalar()
+DIFF = _a.scalar()
+DIFF_INV = _a.scalar()
+NOT_EQUAL = _a.scalar()
+# 3 memory channels: used, is_read, addr, value[4]
+MC_USED = []
+MC_IS_READ = []
+MC_ADDR = []
+MC_VALUE = []
+for _ in range(3):
+    MC_USED.append(_a.scalar())
+    MC_IS_READ.append(_a.scalar())
+    MC_ADDR.append(_a.scalar())
+    MC_VALUE.append(_a.word())
+CLK_OR_ZERO = _a.scalar()
+NUM_CPU_COLS = _a.width
+
+
+class CpuChip(Chip):
+    name = "cpu"
+
+    def __init__(self):
+        self.clock = 0
+        self.pc = 0
+        self.fp = 0
+        self.registers: list[tuple[int, int]] = []  # (pc, fp) snapshots
+        self.operations: list[tuple] = []  # (kind, imm or None)
+        self.instructions: list[InstructionWord] = []
+
+    # -- execution-side plumbing (cpu/src/lib.rs:883-923) -------------------
+
+    def push_op(self, kind: str, imm, opcode: int, operands: Operands):
+        self.operations.append((kind, imm))
+        self.instructions.append(InstructionWord(opcode, operands))
+        self.registers.append((self.pc, self.fp))
+        self.clock += 1
+
+    def push_bus_op(self, imm, opcode, operands):
+        self.pc += 1
+        self.push_op("bus", imm, opcode, operands)
+
+    def push_left_imm_bus_op(self, imm, opcode, operands):
+        self.pc += 1
+        self.push_op("bus_left_imm", imm, opcode, operands)
+
+    def push_bus_op_with_memory(self, imm, opcode, operands):
+        self.pc += 1
+        self.push_op("bus_with_memory", imm, opcode, operands)
+
+    # -- trace generation ---------------------------------------------------
+
+    def width(self):
+        return NUM_CPU_COLS
+
+    def generate_trace(self, machine):
+        n = len(self.operations)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_CPU_COLS), dtype=np.uint32)
+
+        flag_of = {
+            "store": IS_STORE, "store_u8": IS_STORE_U8, "load": IS_LOAD,
+            "load_u8": IS_LOAD_U8, "load_s8": IS_LOAD_S8, "jal": IS_JAL,
+            "jalv": IS_JALV, "beq": IS_BEQ, "bne": IS_BNE, "imm32": IS_IMM32,
+            "advice": IS_ADVICE, "stop": IS_STOP, "loadfp": IS_LOADFP,
+            "bus": IS_BUS_OP, "bus_left_imm": IS_BUS_OP,
+            "bus_with_memory": IS_BUS_OP,
+        }
+
+        mem = machine.mem()
+        for clk, (kind, imm) in enumerate(self.operations):
+            r = rows[clk]
+            r[CLK] = clk
+            r[PC], r[FP] = self.registers[clk]
+            iw = self.instructions[clk]
+            r[OPCODE] = iw.opcode % bb.P
+            ops_f = iw.operands.to_field()
+            for i in range(5):
+                r[OPERANDS[i]] = ops_f[i]
+            r[flag_of[kind]] = 1
+            if kind == "bus_with_memory":
+                r[IS_BUS_OP_WITH_MEM] = 1
+                r[CLK_OR_ZERO] = clk
+            left_imm = kind == "bus_left_imm"
+
+            # memory channels (cpu/src/lib.rs:244-283)
+            r[MC_IS_READ[0]] = 1
+            r[MC_IS_READ[1]] = 1
+            is_first_read = True
+            for op_kind, addr, value in mem.operations.get(clk, []):
+                if op_kind == "r":
+                    if is_first_read and not left_imm:
+                        ch = 0
+                        is_first_read = False
+                    else:
+                        ch = 1
+                    r[MC_USED[ch]] = 1
+                    r[MC_ADDR[ch]] = addr % bb.P
+                    for i, byte in enumerate(u32_to_bytes(value)):
+                        r[MC_VALUE[ch][i]] = byte
+                elif op_kind == "w":
+                    r[MC_USED[2]] = 1
+                    r[MC_ADDR[2]] = addr % bb.P
+                    for i, byte in enumerate(u32_to_bytes(value)):
+                        r[MC_VALUE[2][i]] = byte
+
+            # immediate overrides (cpu/src/lib.rs:359-381)
+            if imm is not None:
+                if left_imm:
+                    r[IS_LEFT_IMM_OP] = 1
+                    for i, byte in enumerate(u32_to_bytes(imm)):
+                        r[MC_VALUE[0][i]] = byte
+                    r[OPERANDS[1]] = imm % bb.P
+                else:
+                    r[IS_IMM_OP] = 1
+                    for i, byte in enumerate(u32_to_bytes(imm)):
+                        r[MC_VALUE[1][i]] = byte
+                    r[OPERANDS[2]] = imm % bb.P
+
+        # word-equality witness (cpu/src/lib.rs:285-315)
+        v1 = rows[:, [MC_VALUE[0][i] for i in range(4)]].astype(np.int64)
+        v2 = rows[:, [MC_VALUE[1][i] for i in range(4)]].astype(np.int64)
+        diff = (((v1 - v2) % bb.P) ** 2 % bb.P).sum(axis=1) % bb.P
+        rows[:, DIFF] = diff
+        inv = np.array([bb.h_inv(int(d)) if d else 0 for d in diff], dtype=np.uint32)
+        rows[:, DIFF_INV] = inv
+        rows[:, NOT_EQUAL] = (diff != 0).astype(np.uint32)
+
+        # STOP padding rows (cpu/src/lib.rs:317-354)
+        if n2 > n and n > 0:
+            last_pc, last_fp = rows[n - 1, PC], rows[n - 1, FP]
+            last_clk = int(rows[n - 1, CLK])
+            for i, clk in enumerate(range(n, n2)):
+                r = rows[clk]
+                r[PC], r[FP] = last_pc, last_fp
+                r[CLK] = (last_clk + i + 1) % bb.P
+                r[IS_STOP] = 1
+                r[OPCODE] = OC.STOP
+                r[MC_IS_READ[0]] = 1
+                r[MC_IS_READ[1]] = 1
+        return rows
+
+    # -- interactions (cpu/src/lib.rs:99-159) -------------------------------
+
+    def global_sends(self, machine):
+        sends = []
+        for ch in range(3):
+            fields = [
+                VPCol.single_main(MC_IS_READ[ch]),
+                VPCol.single_main(CLK),
+                VPCol.single_main(MC_ADDR[ch]),
+                VPCol.const(0),  # is_static_initial
+            ] + [VPCol.single_main(MC_VALUE[ch][i]) for i in range(4)]
+            sends.append(
+                Interaction(fields=fields,
+                            count=VPCol.single_main(MC_USED[ch]),
+                            bus=machine.mem_bus())
+            )
+        # general bus
+        fields = [VPCol.single_main(OPCODE)]
+        for ch in range(3):
+            fields += [VPCol.single_main(MC_VALUE[ch][i]) for i in range(4)]
+        fields.append(VPCol.single_main(CLK_OR_ZERO))
+        sends.append(
+            Interaction(fields=fields,
+                        count=VPCol.single_main(IS_BUS_OP),
+                        bus=machine.general_bus())
+        )
+        # program bus (intended design; disabled in the reference)
+        if machine.program_bus() is not None:
+            fields = [VPCol.single_main(PC), VPCol.single_main(OPCODE)]
+            fields += [VPCol.single_main(OPERANDS[i]) for i in range(5)]
+            sends.append(
+                Interaction(fields=fields, count=VPCol.one(),
+                            bus=machine.program_bus())
+            )
+        return sends
+
+    # -- AIR (cpu/src/stark.rs) ---------------------------------------------
+
+    def eval(self, b):
+        local = b.main_local
+        nxt = b.main_next
+        base = [1 << 24, 1 << 16, 1 << 8, 1]
+
+        def reduce(word_idx, row):
+            return (row[word_idx[0]] * base[0] + row[word_idx[1]] * base[1]
+                    + row[word_idx[2]] * base[2] + row[word_idx[3]] * base[3])
+
+        one = 1
+        is_load = local[IS_LOAD]
+        is_store = local[IS_STORE]
+        is_jal = local[IS_JAL]
+        is_jalv = local[IS_JALV]
+        is_beq = local[IS_BEQ]
+        is_bne = local[IS_BNE]
+        is_imm32 = local[IS_IMM32]
+        is_loadfp = local[IS_LOADFP]
+        is_imm_op = local[IS_IMM_OP]
+        is_left_imm_op = local[IS_LEFT_IMM_OP]
+        is_bus_op = local[IS_BUS_OP]
+
+        # pc constraints
+        # Deviation: the reference omits load/store/byte-op and advice rows
+        # from should_increment_pc for loads/stores (soundness gap); those
+        # ops always advance pc in execution, so we constrain them too.
+        should_increment_pc = (
+            is_imm32 + is_loadfp + is_bus_op + local[IS_ADVICE]
+            + is_load + is_store + local[IS_LOAD_U8] + local[IS_LOAD_S8]
+            + local[IS_STORE_U8]
+        )
+        incremented_pc = local[PC] + 1
+        b.when_transition().when(should_increment_pc).assert_eq(
+            nxt[PC], incremented_pc
+        )
+        equal = one - local[NOT_EQUAL]
+        target = local[OPERANDS[0]]
+        beq_next = equal * target + BYTES_PER_INSTR * local[NOT_EQUAL] * incremented_pc
+        bne_next = BYTES_PER_INSTR * equal * incremented_pc + local[NOT_EQUAL] * target
+        b.when_transition().when(is_beq).assert_eq(
+            BYTES_PER_INSTR * nxt[PC], beq_next
+        )
+        b.when_transition().when(is_bne).assert_eq(
+            BYTES_PER_INSTR * nxt[PC], bne_next
+        )
+        b.when_transition().when(is_jal).assert_eq(
+            BYTES_PER_INSTR * nxt[PC], local[OPERANDS[1]]
+        )
+        b.when_transition().when(is_jalv).assert_eq(
+            BYTES_PER_INSTR * nxt[PC], reduce(MC_VALUE[0], local)
+        )
+
+        # fp constraints
+        b.when_transition().when(is_jal).assert_eq(
+            nxt[FP], local[FP] + local[OPERANDS[2]]
+        )
+        b.when_transition().when(is_jalv).assert_eq(
+            nxt[FP], local[FP] + reduce(MC_VALUE[1], local)
+        )
+        b.when_transition().when(one - is_jal - is_jalv).assert_eq(
+            nxt[FP], local[FP]
+        )
+
+        # word equality gadget
+        diff_expr = None
+        for i in range(4):
+            d = local[MC_VALUE[0][i]] - local[MC_VALUE[1][i]]
+            sq = d * d
+            diff_expr = sq if diff_expr is None else diff_expr + sq
+        b.assert_eq(local[DIFF], diff_expr)
+        b.assert_bool(local[NOT_EQUAL])
+        b.assert_eq(local[NOT_EQUAL], local[DIFF] * local[DIFF_INV])
+        b.assert_zero((one - local[NOT_EQUAL]) * local[DIFF])
+
+        # memory channels
+        for f in [is_load, is_store, is_jal, is_jalv, is_beq, is_bne,
+                  is_imm32, is_loadfp, is_imm_op, is_left_imm_op, is_bus_op]:
+            b.assert_bool(f)
+
+        # Intended-design fix: bus-ops-with-memory (WRITE) perform a single
+        # read and no memory write, so the channel-usage rules below use
+        # is_pure_bus for the "ALU-shaped" bus ops and carve out with-mem
+        # rows explicitly (the reference's rules contradict its own WRITE).
+        is_with_mem = local[IS_BUS_OP_WITH_MEM]
+        b.assert_bool(is_with_mem)
+        b.assert_zero(is_with_mem * (one - is_bus_op))
+        is_pure_bus = is_bus_op - is_with_mem
+
+        addr_a = local[FP] + local[OPERANDS[0]]
+        addr_b = local[FP] + local[OPERANDS[1]]
+        addr_c = local[FP] + local[OPERANDS[2]]
+
+        b.assert_one(local[MC_IS_READ[0]])
+        b.assert_one(local[MC_IS_READ[1]])
+        b.assert_zero(local[MC_IS_READ[2]])
+
+        read1 = local[MC_ADDR[0]]
+        read2 = local[MC_ADDR[1]]
+        write = local[MC_ADDR[2]]
+
+        b.when(is_jalv + is_beq + is_bne + is_bus_op * (one - is_left_imm_op)).assert_eq(
+            read1, addr_b
+        )
+        b.when(is_load + is_store).assert_eq(read1, addr_c)
+        b.when(
+            is_load + is_store + is_jalv + is_beq + is_bne
+            + (one - is_left_imm_op) * is_bus_op
+        ).assert_one(local[MC_USED[0]])
+        b.when(is_jal + is_left_imm_op + is_loadfp + is_imm32).assert_zero(
+            local[MC_USED[0]]
+        )
+
+        b.when(is_load).assert_eq(read2, reduce(MC_VALUE[0], local))
+        b.when(is_store).assert_eq(read2, addr_b)
+        b.when(is_jalv + (one - is_imm_op) * is_pure_bus).assert_eq(read2, addr_c)
+        b.when(
+            is_load + is_store + is_jalv
+            + (one - is_imm_op) * (is_beq + is_bne + is_pure_bus)
+        ).assert_one(local[MC_USED[1]])
+        b.when(
+            is_jal + is_imm_op * (is_beq + is_bne + is_pure_bus) + is_loadfp
+            + is_imm32 + is_with_mem
+        ).assert_zero(local[MC_USED[1]])
+
+        b.when(is_load + is_jal + is_jalv + is_imm32 + is_pure_bus + is_loadfp).assert_eq(
+            write, addr_a
+        )
+        b.when(is_store).assert_eq(write, reduce(MC_VALUE[1], local))
+
+        def word_eq_sq(wa, wb_idx):
+            acc = None
+            for i in range(4):
+                d = local[wa[i]] - local[wb_idx[i]]
+                sq = d * d
+                acc = sq if acc is None else acc + sq
+            return acc
+
+        b.when(is_store).assert_zero(word_eq_sq(MC_VALUE[0], MC_VALUE[2]))
+        b.when(is_load).assert_zero(word_eq_sq(MC_VALUE[1], MC_VALUE[2]))
+        b.when_transition().when(is_jal + is_jalv).assert_eq(
+            BYTES_PER_INSTR * (local[PC] + 1), reduce(MC_VALUE[2], local)
+        )
+        imm32_word = [OPERANDS[1], OPERANDS[2], OPERANDS[3], OPERANDS[4]]
+        acc = None
+        for i in range(4):
+            d = local[MC_VALUE[2][i]] - local[imm32_word[i]]
+            sq = d * d
+            acc = sq if acc is None else acc + sq
+        b.when(is_imm32).assert_zero(acc)
+        b.when(is_loadfp).assert_eq(addr_b, reduce(MC_VALUE[2], local))
+        b.when(
+            is_store + is_load + is_jal + is_jalv + is_imm32 + is_loadfp + is_pure_bus
+        ).assert_one(local[MC_USED[2]])
+        b.when(is_beq + is_bne + is_with_mem).assert_zero(local[MC_USED[2]])
+
+        # clock constraints
+        b.when_first_row().assert_zero(local[CLK])
+        b.when_transition().assert_eq(local[CLK] + 1, nxt[CLK])
+        b.when(local[IS_BUS_OP_WITH_MEM]).assert_eq(local[CLK], local[CLK_OR_ZERO])
+        b.when(one - local[IS_BUS_OP_WITH_MEM]).assert_zero(local[CLK_OR_ZERO])
+
+        # immediate constraints
+        b.assert_bool(is_imm_op + is_left_imm_op)
+        b.when(is_imm_op).assert_eq(
+            local[OPERANDS[2]], reduce(MC_VALUE[1], local)
+        )
+        b.when(is_left_imm_op).assert_eq(
+            local[OPERANDS[1]], reduce(MC_VALUE[0], local)
+        )
+
+        # stop constraints
+        b.when_transition().when(local[IS_STOP]).assert_eq(nxt[PC], local[PC])
+        b.when_last_row().assert_one(local[IS_STOP])
+
+
+# ---------------------------------------------------------------------------
+# Core-ISA instruction semantics (cpu/src/lib.rs:398-881)
+# ---------------------------------------------------------------------------
+
+
+def _rd(machine, addr, ordinal, opcode):
+    return machine.mem().read(machine.cpu().clock, addr & MASK32, True,
+                              machine.cpu().pc, opcode, ordinal)
+
+
+def ex_load32(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    ra1 = (cpu.fp + ops.c()) & MASK32
+    assert is_mul_4(ra1), "LOAD32: read address location not a multiple of 4"
+    ra2 = _rd(m, ra1, 0, OC.LOAD32)
+    assert is_mul_4(ra2), "LOAD32: read address not a multiple of 4"
+    wa = (cpu.fp + ops.a()) & MASK32
+    assert is_mul_4(wa), "LOAD32: write address location not a multiple of 4"
+    cell = _rd(m, ra2, 1, OC.LOAD32)
+    m.mem().write(clk, wa, cell, True)
+    cpu.pc += 1
+    cpu.push_op("load", None, OC.LOAD32, ops)
+
+
+def ex_loadu8(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    ra_loc = (cpu.fp + ops.c()) & MASK32
+    ra = _rd(m, ra_loc, 0, OC.LOADU8)
+    cell = _rd(m, addr_of_word(ra), 1, OC.LOADU8)
+    byte = u32_to_bytes(cell)[index_of_byte(ra)]
+    wa = addr_of_word((cpu.fp + ops.a()) & MASK32)
+    m.mem().write(clk, wa, byte, True)
+    cpu.pc += 1
+    cpu.push_op("load_u8", None, OC.LOADU8, ops)
+
+
+def ex_loads8(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    ra_loc = (cpu.fp + ops.c()) & MASK32
+    ra = _rd(m, ra_loc, 0, OC.LOADS8)
+    cell = _rd(m, addr_of_word(ra), 1, OC.LOADS8)
+    byte = u32_to_bytes(cell)[index_of_byte(ra)]
+    wa = addr_of_word((cpu.fp + ops.a()) & MASK32)
+    m.mem().write(clk, wa, sign_extend_byte(byte), True)
+    cpu.pc += 1
+    cpu.push_op("load_s8", None, OC.LOADS8, ops)
+
+
+def ex_store32(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    ra = (cpu.fp + ops.c()) & MASK32
+    assert is_mul_4(ra), "STORE32: read address not a multiple of 4"
+    wa_loc = (cpu.fp + ops.b()) & MASK32
+    assert is_mul_4(wa_loc), "STORE32: write address location not a multiple of 4"
+    wa = _rd(m, wa_loc, 0, OC.STORE32)
+    assert is_mul_4(wa), "STORE32: write address not a multiple of 4"
+    cell = _rd(m, ra, 1, OC.STORE32)
+    m.mem().write(clk, wa, cell, True)
+    cpu.pc += 1
+    cpu.push_op("store", None, OC.STORE32, ops)
+
+
+def ex_storeu8(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    ra = (cpu.fp + ops.c()) & MASK32
+    wa_loc = (cpu.fp + ops.b()) & MASK32
+    wa = _rd(m, wa_loc, 0, OC.STOREU8)
+    cell = _rd(m, addr_of_word(ra), 1, OC.STOREU8)
+    byte = u32_to_bytes(cell)[index_of_byte(ra)]
+    wa_idx = addr_of_word(wa)
+    cur = m.mem().read_or_init(clk, wa_idx, True)
+    m.mem().write(clk, wa_idx, update_byte(cur, byte, index_of_byte(wa)), True)
+    cpu.pc += 1
+    cpu.push_op("store_u8", None, OC.STOREU8, ops)
+
+
+def ex_jal(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    wa = (cpu.fp + ops.a()) & MASK32
+    m.mem().write(clk, wa, (BYTES_PER_INSTR * (cpu.pc + 1)) & MASK32, True)
+    cpu.pc = (ops.b() & MASK32) // BYTES_PER_INSTR
+    cpu.fp = (cpu.fp + ops.c()) & MASK32
+    cpu.push_op("jal", None, OC.JAL, ops)
+
+
+def ex_jalv(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    wa = (cpu.fp + ops.a()) & MASK32
+    m.mem().write(clk, wa, (BYTES_PER_INSTR * (cpu.pc + 1)) & MASK32, True)
+    target = _rd(m, (cpu.fp + ops.b()) & MASK32, 0, OC.JALV)
+    cpu.pc = target // BYTES_PER_INSTR
+    offset = _rd(m, (cpu.fp + ops.c()) & MASK32, 2, OC.JALV)
+    cpu.fp = (cpu.fp + offset) & MASK32
+    cpu.push_op("jalv", None, OC.JALV, ops)
+
+
+def _branch(m, ops, opcode, taken_if_equal):
+    cpu = m.cpu()
+    imm = None
+    cell1 = _rd(m, (cpu.fp + ops.b()) & MASK32, 0, opcode)
+    if ops.is_imm() == 1:
+        imm = ops.c() & MASK32
+        cell2 = imm
+    else:
+        cell2 = _rd(m, (cpu.fp + ops.c()) & MASK32, 1, opcode)
+    if (cell1 == cell2) == taken_if_equal:
+        cpu.pc = (ops.a() & MASK32) // BYTES_PER_INSTR
+    else:
+        cpu.pc += 1
+    cpu.push_op("beq" if taken_if_equal else "bne", imm, opcode, ops)
+
+
+def ex_beq(m, ops):
+    _branch(m, ops, OC.BEQ, True)
+
+
+def ex_bne(m, ops):
+    _branch(m, ops, OC.BNE, False)
+
+
+def ex_imm32(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    wa = (cpu.fp + ops.a()) & MASK32
+    value = bytes_to_u32([x & 0xFF for x in
+                          (ops.b(), ops.c(), ops.d(), ops.e())])
+    m.mem().write(clk, wa, value, True)
+    cpu.pc += 1
+    cpu.push_op("imm32", None, OC.IMM32, ops)
+
+
+def ex_stop(m, ops):
+    cpu = m.cpu()
+    cpu.push_op("stop", None, OC.STOP, ops)
+
+
+def ex_loadfp(m, ops):
+    cpu = m.cpu()
+    clk = cpu.clock
+    wa = (cpu.fp + ops.a()) & MASK32
+    m.mem().write(clk, wa, (cpu.fp + ops.b()) & MASK32, True)
+    cpu.pc += 1
+    cpu.push_op("loadfp", None, OC.LOADFP, ops)
+
+
+def ex_read_advice(m, ops, advice):
+    cpu = m.cpu()
+    clk = cpu.clock
+    addr = (cpu.fp + ops.a()) & MASK32
+    byte = advice.get_advice()
+    value = byte if byte is not None else MASK32
+    m.mem().write(clk, addr, value, True)
+    cpu.pc += 1
+    cpu.push_op("advice", None, OC.READ_ADVICE, ops)

@@ -28,6 +28,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..backend import xp_of
 from ..field import babybear as bb
 from ..field import ext as extf
 from ..poly.ntt import bitrev_indices, _powers_host
@@ -106,11 +107,12 @@ def fold_device(v, beta, x0_inv):
     """
     e0 = v[0::2]
     e1 = v[1::2]
+    xp = xp_of(v)
     s = bb.add(e0, e1)
     d = bb.sub(e0, e1)
     d = extf.ext_mul_base(d, x0_inv)
-    d = extf.ext_mul(d, jnp.broadcast_to(beta[None, :], d.shape))
-    inv2 = jnp.uint32(bb.monty_scalar(bb.h_inv(2)))
+    d = extf.ext_mul(d, xp.broadcast_to(beta[None, :], d.shape))
+    inv2 = np.uint32(bb.monty_scalar(bb.h_inv(2)))
     return bb.mul(bb.add(s, d), inv2)
 
 
@@ -127,6 +129,8 @@ def grind_device(challenger, bits: int) -> int:
     Mirrors DuplexChallenger.grind semantics exactly: observe(w) appends to
     the input buffer; sample() duplexes and pops state[WIDTH-1].
     """
+    from ..backend import get_backend
+
     base_state = np.array(challenger.state, dtype=np.uint32)
     pending = list(challenger.input_buffer)
     k = len(pending)
@@ -136,21 +140,39 @@ def grind_device(challenger, bits: int) -> int:
     state0 = np.tile(base_state, (batch, 1))
     for i, v in enumerate(pending):
         state0[:, i] = v
-    state0_m = bb.to_monty(jnp.asarray(state0))
 
-    @jax.jit
-    def attempt(start):
-        cand = start + jnp.arange(batch, dtype=jnp.uint32)
-        st = state0_m.at[:, k].set(bb.to_monty(cand))
-        out = poseidon.permute_device(st)
-        last = bb.from_monty(out[:, poseidon.WIDTH - 1])
-        ok = (last & jnp.uint32(mask)) == 0
-        idx = jnp.argmax(ok)
-        return jnp.where(jnp.any(ok), cand[idx], jnp.uint32(0xFFFFFFFF))
+    if get_backend() == "jax":
+        state0_m = bb.to_monty(jnp.asarray(state0))
+
+        @jax.jit
+        def attempt(start):
+            cand = start + jnp.arange(batch, dtype=jnp.uint32)
+            st = state0_m.at[:, k].set(bb.to_monty(cand))
+            out = poseidon.permute_device(st)
+            last = bb.from_monty(out[:, poseidon.WIDTH - 1])
+            ok = (last & jnp.uint32(mask)) == 0
+            idx = jnp.argmax(ok)
+            return jnp.where(jnp.any(ok), cand[idx], jnp.uint32(0xFFFFFFFF))
+
+        def attempt_host(start):
+            return int(attempt(jnp.uint32(start)))
+    else:
+        state0_m_np = bb.to_monty(state0)
+
+        def attempt_host(start):
+            cand = (start + np.arange(batch, dtype=np.uint64)).astype(np.uint32)
+            st = state0_m_np.copy()
+            st[:, k] = bb.to_monty(cand)
+            out = poseidon.permute_device(st)
+            last = bb.from_monty(out[:, poseidon.WIDTH - 1])
+            ok = (last & np.uint32(mask)) == 0
+            if not ok.any():
+                return 0xFFFFFFFF
+            return int(cand[np.argmax(ok)])
 
     start = 0
     while start < (1 << 32):
-        w = int(attempt(jnp.uint32(start)))
+        w = attempt_host(start)
         if w != 0xFFFFFFFF:
             challenger.observe(w)
             assert challenger.sample_bits(bits) == 0
@@ -188,10 +210,9 @@ def fri_prove(reduced_openings: dict, config: FriConfig, shift: int, challenger)
         challenger.observe_digest(tree.root())
         beta = challenger.sample_ext()
         betas.append(beta)
-        beta_m = bb.to_monty(jnp.asarray(np.array(beta, dtype=np.uint32)))
-        x0inv = jnp.asarray(
-            _x0_inv_table(log_m, layer_shift(shift, layer))
-        )
+        xp = xp_of(current)
+        beta_m = bb.to_monty(xp.asarray(np.array(beta, dtype=np.uint32)))
+        x0inv = xp.asarray(_x0_inv_table(log_m, layer_shift(shift, layer)))
         current = fold_device(current, beta_m, x0inv)
         layer += 1
         nxt = log_m - 1

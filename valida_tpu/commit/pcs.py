@@ -15,6 +15,7 @@ import dataclasses
 import numpy as np
 import jax.numpy as jnp
 
+from ..backend import asarray, xp_of
 from ..field import babybear as bb
 from ..field import ext as extf
 from ..poly import ntt as nttm
@@ -80,7 +81,7 @@ class TwoAdicFriPcs:
         committed = []
         log_heights = []
         for mat, dshift in zip(matrices, domain_shifts):
-            mat = jnp.asarray(mat)
+            mat = asarray(mat)
             h = int(mat.shape[0])
             log_h = h.bit_length() - 1
             log_heights.append(log_h)
@@ -89,14 +90,15 @@ class TwoAdicFriPcs:
                 coeffs = nttm.intt(m)
             else:
                 coeffs = nttm.coset_intt(m, dshift)
-            padded = jnp.concatenate(
-                [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << self.log_blowup) - 1),
+            xp = xp_of(coeffs)
+            padded = xp.concatenate(
+                [coeffs] + [xp.zeros_like(coeffs)] * ((1 << self.log_blowup) - 1),
                 axis=0,
             )
             lde = nttm.coset_eval_from_coeffs(padded, self.shift)
             coeffs_list.append(coeffs)
             ldes.append(lde)
-            rev = jnp.asarray(bitrev_indices(log_h + self.log_blowup))
+            rev = bitrev_indices(log_h + self.log_blowup)
             committed.append(np.asarray(bb.from_monty(lde[rev])))
         tree = MerkleTree(committed)
         data = ProverData(
@@ -149,15 +151,15 @@ class TwoAdicFriPcs:
             ):
                 w = int(lde.shape[1])
                 log_lde = int(lde.shape[0]).bit_length() - 1
+                xp = xp_of(lde)
                 apows = extf.e_powers(alpha, alpha_offset + w)[alpha_offset:]
                 apows_m = bb.to_monty(
-                    jnp.asarray(np.array(apows, dtype=np.uint32))
+                    xp.asarray(np.array(apows, dtype=np.uint32))
                 )  # [w, 5]
-                rev = jnp.asarray(bitrev_indices(log_lde))
-                lde_rev = lde[rev]
+                lde_rev = lde[bitrev_indices(log_lde)]
                 # combined(x) = sum_c alpha^{off+c} p_c(x): [H, 5]
                 combined = _alpha_combine(lde_rev, apows_m)
-                xs = jnp.asarray(_coset_points_bitrev(log_lde, self.shift))
+                xs = xp.asarray(_coset_points_bitrev(log_lde, self.shift))
                 acc = reduced.get(log_lde)
                 for z, point_vals in zip(mat_points, round_vals[mi]):
                     comb_y = extf.E_ZERO
@@ -168,11 +170,11 @@ class TwoAdicFriPcs:
                     num = bb.sub(
                         combined,
                         bb.to_monty(
-                            jnp.asarray(np.array(comb_y, dtype=np.uint32))
+                            xp.asarray(np.array(comb_y, dtype=np.uint32))
                         )[None, :],
                     )
                     # denominator (x - z): ext over [H]
-                    z_m = bb.to_monty(jnp.asarray(np.array(z, dtype=np.uint32)))
+                    z_m = bb.to_monty(xp.asarray(np.array(z, dtype=np.uint32)))
                     denom = bb.sub(extf.ext_from_base(xs), z_m[None, :])
                     quot = extf.ext_mul(num, extf.ext_inv(denom))
                     acc = quot if acc is None else bb.add(acc, quot)
@@ -295,17 +297,16 @@ class TwoAdicFriPcs:
 
 def _ext_powers_device(z: tuple, n: int):
     """[n, 5] monty powers of ext scalar z via log-doubling."""
-    import math
-
     arr = np.zeros((1, 5), dtype=np.uint32)
     arr[0, 0] = 1
-    arr_m = bb.to_monty(jnp.asarray(arr))
+    arr_m = bb.to_monty(asarray(arr))
+    xp = xp_of(arr_m)
     length = 1
     while length < n:
         step = extf.e_exp(z, length)
-        step_m = bb.to_monty(jnp.asarray(np.array(step, dtype=np.uint32)))
-        nxt = extf.ext_mul(arr_m, jnp.broadcast_to(step_m[None, :], arr_m.shape))
-        arr_m = jnp.concatenate([arr_m, nxt], axis=0)
+        step_m = bb.to_monty(xp.asarray(np.array(step, dtype=np.uint32)))
+        nxt = extf.ext_mul(arr_m, xp.broadcast_to(step_m[None, :], arr_m.shape))
+        arr_m = xp.concatenate([arr_m, nxt], axis=0)
         length *= 2
     return arr_m[:n]
 
@@ -316,7 +317,7 @@ def _alpha_combine(lde_rev, apows_m):
     for d in range(5):
         prod = bb.mul(lde_rev, apows_m[None, :, d])  # [H, w]
         out.append(nttm._mod_sum(prod, axis=1))
-    return jnp.stack(out, axis=-1)
+    return xp_of(lde_rev).stack(out, axis=-1)
 
 
 import functools

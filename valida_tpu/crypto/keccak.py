@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..backend import xp_of
+
 RATE_BYTES = 136
 RATE_WORDS = 34  # u32 words per block
 DIGEST_WORDS = 8
@@ -99,10 +101,11 @@ def keccak_f(lo, hi):
                 n_lo[i] = b_lo[i] ^ (~b_lo[i1] & b_lo[i2])
                 n_hi[i] = b_hi[i] ^ (~b_hi[i1] & b_hi[i2])
         # iota
-        n_lo[0] = n_lo[0] ^ jnp.uint32(_RC_LO[rnd])
-        n_hi[0] = n_hi[0] ^ jnp.uint32(_RC_HI[rnd])
-        lo = jnp.stack(n_lo, axis=-1)
-        hi = jnp.stack(n_hi, axis=-1)
+        n_lo[0] = n_lo[0] ^ np.uint32(_RC_LO[rnd])
+        n_hi[0] = n_hi[0] ^ np.uint32(_RC_HI[rnd])
+        xp = xp_of(n_lo[0])
+        lo = xp.stack(n_lo, axis=-1)
+        hi = xp.stack(n_hi, axis=-1)
     return lo, hi
 
 
@@ -123,26 +126,27 @@ def keccak256_words(words):
     words: uint32 [batch, n_words] (message bytes = LE serialization).
     Returns uint32 [batch, 8].
     """
+    xp = xp_of(words)
     batch, n_words = words.shape
     n_blocks, pad = _pad_words(n_words)
     total = n_blocks * RATE_WORDS
-    buf = jnp.zeros((batch, total), dtype=jnp.uint32)
-    buf = buf.at[:, :n_words].set(words.astype(jnp.uint32))
-    buf = buf ^ jnp.asarray(pad)[None, :]
+    pad_cols = xp.zeros((batch, total - n_words), dtype=np.uint32)
+    buf = xp.concatenate([words.astype(np.uint32), pad_cols], axis=1)
+    buf = buf ^ pad[None, :]
 
-    lo = jnp.zeros((batch, 25), dtype=jnp.uint32)
-    hi = jnp.zeros((batch, 25), dtype=jnp.uint32)
+    lo = xp.zeros((batch, 25), dtype=np.uint32)
+    hi = xp.zeros((batch, 25), dtype=np.uint32)
     for b in range(n_blocks):
         block = buf[:, b * RATE_WORDS : (b + 1) * RATE_WORDS]
         # word k -> lane k//2, half k%2
         blk_lo = block[:, 0::2]  # 17 lanes
         blk_hi = block[:, 1::2]
-        lo = lo.at[:, :17].set(lo[:, :17] ^ blk_lo)
-        hi = hi.at[:, :17].set(hi[:, :17] ^ blk_hi)
+        lo = xp.concatenate([lo[:, :17] ^ blk_lo, lo[:, 17:]], axis=1)
+        hi = xp.concatenate([hi[:, :17] ^ blk_hi, hi[:, 17:]], axis=1)
         lo, hi = keccak_f(lo, hi)
 
     # squeeze 32 bytes = 4 lanes = 8 words
-    out = jnp.stack(
+    out = xp.stack(
         [lo[:, 0], hi[:, 0], lo[:, 1], hi[:, 1], lo[:, 2], hi[:, 2], lo[:, 3], hi[:, 3]],
         axis=-1,
     )

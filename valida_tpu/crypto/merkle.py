@@ -21,27 +21,34 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..backend import asarray
 from .keccak import keccak256_words, keccak256_words_host
 
 DIGEST_WORDS = 8
 
 
 def _hash_rows(mats_at_level):
-    """mats: list of [n, w] uint32 canonical -> [n, 8] digests (device)."""
-    cat = jnp.concatenate([m.astype(jnp.uint32) for m in mats_at_level], axis=1)
+    """mats: list of [n, w] uint32 canonical -> [n, 8] digests."""
+    from ..backend import xp_of
+
+    xp = xp_of(mats_at_level[0])
+    cat = xp.concatenate([m.astype(np.uint32) for m in mats_at_level], axis=1)
     return keccak256_words(cat)
 
 
 def _compress(left, right):
     """left/right [n, 8] -> [n, 8]."""
-    return keccak256_words(jnp.concatenate([left, right], axis=1))
+    from ..backend import xp_of
+
+    xp = xp_of(left)
+    return keccak256_words(xp.concatenate([left, right], axis=1))
 
 
 class MerkleTree:
     def __init__(self, matrices):
         """matrices: list of uint32 arrays [h_i, w_i], canonical values,
         h_i a power of two.  Order is preserved for openings."""
-        self.matrices = [jnp.asarray(m) for m in matrices]
+        self.matrices = [asarray(m) for m in matrices]
         heights = [int(m.shape[0]) for m in self.matrices]
         assert all(h & (h - 1) == 0 for h in heights)
         self.log_max = max(h.bit_length() - 1 for h in heights)

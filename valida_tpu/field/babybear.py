@@ -17,6 +17,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..backend import xp_of
+
 # ---------------------------------------------------------------------------
 # Constants
 # ---------------------------------------------------------------------------
@@ -28,8 +30,8 @@ MONTY_MU = 2281701377  # p^{-1} mod 2^32
 R1 = 268435454  # 2^32 mod p  ("one" in Montgomery form)
 R2 = 1172168163  # 2^64 mod p (to_monty multiplier)
 
-_U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_U32 = np.uint32
+_MASK16 = np.uint32(0xFFFF)
 
 # two-adic generator chain: g[k] has order 2^k; g[27] = 31^15 mod p.
 _G27 = 440564289
@@ -95,40 +97,40 @@ def _mul64(a, b):
     Built from 16-bit limbs so every partial product fits in uint32.
     """
     a0 = a & _MASK16
-    a1 = a >> 16
+    a1 = a >> np.uint32(16)
     b0 = b & _MASK16
-    b1 = b >> 16
+    b1 = b >> np.uint32(16)
     ll = a0 * b0
     lh = a0 * b1  # < 2^32, fits
     hl = a1 * b0
     hh = a1 * b1
     # mid = lh + hl can overflow u32 for full-range inputs; track its carry.
     mid = lh + hl
-    mid_carry = (mid < lh).astype(_U32)  # 1 iff wrapped
-    lo = ll + (mid << 16)
-    lo_carry = (lo < ll).astype(_U32)
-    hi = hh + (mid >> 16) + (mid_carry << 16) + lo_carry
+    mid_carry = (mid < lh).astype(np.uint32)  # 1 iff wrapped
+    lo = ll + (mid << np.uint32(16))
+    lo_carry = (lo < ll).astype(np.uint32)
+    hi = hh + (mid >> np.uint32(16)) + (mid_carry << np.uint32(16)) + lo_carry
     return hi, lo
 
 
 def _umulh_p(m):
     """High 32 bits of m * P, exploiting P = 0x78000001 (low limb = 1)."""
     m0 = m & _MASK16
-    m1 = m >> 16
-    p1 = jnp.uint32(P >> 16)  # 0x7800
+    m1 = m >> np.uint32(16)
+    p1 = np.uint32(P >> 16)  # 0x7800
     lh = m0 * p1
     mid = lh + m1  # < 2^31 + 2^16, fits
-    lo = m0 + (mid << 16)
-    lo_carry = (lo < m0).astype(_U32)
-    return m1 * p1 + (mid >> 16) + lo_carry
+    lo = m0 + (mid << np.uint32(16))
+    lo_carry = (lo < m0).astype(np.uint32)
+    return m1 * p1 + (mid >> np.uint32(16)) + lo_carry
 
 
 def _monty_reduce(hi, lo):
     """(hi·2^32 + lo)·R^{-1} mod p, result in [0, p)."""
-    m = lo * jnp.uint32(MONTY_MU)  # wrapping low product
+    m = lo * np.uint32(MONTY_MU)  # wrapping low product
     u_hi = _umulh_p(m)
     r = hi - u_hi
-    return jnp.where(hi < u_hi, r + jnp.uint32(P), r)
+    return xp_of(hi).where(hi < u_hi, r + np.uint32(P), r)
 
 
 def mul(a, b):
@@ -139,16 +141,16 @@ def mul(a, b):
 
 def add(a, b):
     s = a + b
-    return jnp.where(s >= jnp.uint32(P), s - jnp.uint32(P), s)
+    return xp_of(s).where(s >= np.uint32(P), s - np.uint32(P), s)
 
 
 def sub(a, b):
     d = a - b
-    return jnp.where(a < b, d + jnp.uint32(P), d)
+    return xp_of(d).where(a < b, d + np.uint32(P), d)
 
 
 def neg(a):
-    return jnp.where(a == 0, a, jnp.uint32(P) - a)
+    return xp_of(a).where(a == 0, a, np.uint32(P) - a)
 
 
 def double(a):
@@ -157,20 +159,21 @@ def double(a):
 
 def to_monty(x):
     """Canonical uint32 (in [0, p)) -> Montgomery form."""
-    hi, lo = _mul64(x.astype(_U32), jnp.uint32(R2))
+    hi, lo = _mul64(x.astype(np.uint32), np.uint32(R2))
     return _monty_reduce(hi, lo)
 
 
 def from_monty(x):
     """Montgomery form -> canonical uint32 in [0, p)."""
-    return _monty_reduce(jnp.zeros_like(x), x)
+    return _monty_reduce(xp_of(x).zeros_like(x), x)
 
 
 def from_wrapped_u32(x):
     """Arbitrary u32 -> Montgomery form (value taken mod p)."""
-    x = x.astype(_U32)
-    x = jnp.where(x >= jnp.uint32(P), x - jnp.uint32(P), x)  # x < 2^32 < 2p+…
-    x = jnp.where(x >= jnp.uint32(P), x - jnp.uint32(P), x)
+    x = x.astype(np.uint32)
+    xp = xp_of(x)
+    x = xp.where(x >= np.uint32(P), x - np.uint32(P), x)  # x < 2^32 < 2p+…
+    x = xp.where(x >= np.uint32(P), x - np.uint32(P), x)
     return to_monty(x)
 
 
@@ -185,7 +188,7 @@ def exp(a, e: int):
         if e:
             base = mul(base, base)
     if result is None:
-        return jnp.full_like(a, jnp.uint32(R1))
+        return xp_of(a).full_like(a, np.uint32(R1))
     return result
 
 
@@ -201,9 +204,11 @@ def monty_scalar(x: int) -> int:
     return (x << 32) % P
 
 
-def const(x: int, shape=(), dtype=_U32):
+def const(x: int, shape=(), dtype=np.uint32):
     """Montgomery-form constant array from a canonical python int."""
-    return jnp.full(shape, monty_scalar(x % P), dtype=dtype)
+    from ..backend import asarray
+    import numpy as _np
+    return asarray(_np.full(shape, monty_scalar(x % P), dtype=dtype))
 
 
 ONE = R1  # Montgomery-form 1 as a python int

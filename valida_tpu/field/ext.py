@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import babybear as bb
+from ..backend import xp_of
 
 D = 5  # extension degree
 W = 2  # binomial nonresidue: x^5 = 2
@@ -44,7 +45,7 @@ def ext_scale(a, s):
 
 def ext_mul(a, b):
     """Product modulo x^5 - W.  c_k = sum_{i+j=k} a_i b_j + W·sum_{i+j=k+5}."""
-    w = jnp.uint32(_W_MONTY)
+    w = np.uint32(_W_MONTY)
     c = []
     for k in range(D):
         acc = None
@@ -59,7 +60,7 @@ def ext_mul(a, b):
                 t = bb.mul(bb.mul(a[..., i], b[..., j5]), w)
             acc = t if acc is None else bb.add(acc, t)
         c.append(acc)
-    return jnp.stack(c, axis=-1)
+    return xp_of(a).stack(c, axis=-1)
 
 
 def ext_mul_base(a, s):
@@ -82,8 +83,10 @@ def ext_exp(a, e: int):
 
 
 def ext_one_like(a):
-    one = jnp.zeros(a.shape, dtype=jnp.uint32)
-    return one.at[..., 0].set(jnp.uint32(bb.ONE))
+    xp = xp_of(a)
+    z = xp.zeros(a.shape[:-1], dtype=np.uint32)
+    one = xp.full(a.shape[:-1], np.uint32(bb.ONE), dtype=np.uint32)
+    return xp.stack([one, z, z, z, z], axis=-1)
 
 
 def ext_inv(a):
@@ -116,13 +119,14 @@ _FROB_COEFFS_MONTY = np.array(
 
 
 def frobenius(a):
-    return bb.mul(a, jnp.asarray(_FROB_COEFFS_MONTY))
+    return bb.mul(a, _FROB_COEFFS_MONTY)
 
 
 def ext_from_base(a):
     """Base-field monty array -> ext array (a placed at coeff 0)."""
-    out = jnp.zeros(a.shape + (D,), dtype=jnp.uint32)
-    return out.at[..., 0].set(a)
+    xp = xp_of(a)
+    z = xp.zeros(a.shape, dtype=np.uint32)
+    return xp.stack([a, z, z, z, z], axis=-1)
 
 
 # ---------------------------------------------------------------------------

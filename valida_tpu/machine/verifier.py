@@ -189,6 +189,7 @@ def verify_constraints(machine, chip, opened_values, cumulative_sum,
         is_last_row=SVal(is_last),
         is_transition=SVal(is_transition),
         alpha=SVal(tuple(alpha)),
+        trace_height=1 << log_degree,
     )
     chip.eval(builder)
     eval_permutation_constraints(chip, builder, tuple(cumulative_sum))

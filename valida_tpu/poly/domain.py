@@ -55,11 +55,11 @@ class ZerofierOnCoset:
     def zerofier_evals(self):
         """Z_H over the full coset (natural order), shape [N·2^b]."""
         n = 1 << self.log_n
-        return jnp.tile(jnp.asarray(self._z_period), n)
+        return np.tile(self._z_period, n)
 
     def zerofier_inv_evals(self):
         n = 1 << self.log_n
-        return jnp.tile(jnp.asarray(self._zinv_period), n)
+        return np.tile(self._zinv_period, n)
 
     def lagrange_basis_unnormalized(self, i: int):
         """L_i(x) ∝ Z_H(x)/(x - g^i) over the coset (natural order).
@@ -67,9 +67,8 @@ class ZerofierOnCoset:
         Matches Plonky3's `lagrange_basis_unnormalized` used for the
         is_first_row / is_last_row selectors.
         """
-        size = 1 << (self.log_n + self.log_blowup)
-        x = jnp.asarray(coset_points(self.log_n + self.log_blowup, self.shift))
+        x = coset_points(self.log_n + self.log_blowup, self.shift)
         gi = bb.h_exp(bb.two_adic_generator(self.log_n), i)
-        denom = bb.sub(x, jnp.uint32(bb.monty_scalar(gi)))
+        denom = bb.sub(x, np.uint32(bb.monty_scalar(gi)))
         z = self.zerofier_evals()
         return bb.mul(z, bb.inv(denom))

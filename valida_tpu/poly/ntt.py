@@ -25,6 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..field import babybear as bb
+from ..backend import xp_of
 
 # ---------------------------------------------------------------------------
 # Twiddle / permutation caches (host-side, keyed by static shape params)
@@ -87,13 +88,14 @@ def _bcast(tw: jnp.ndarray, ndim_rest: int):
 
 def dif(a, inverse: bool = False):
     """Natural-in, bitrev-out radix-2 DIF over axis 0 (no 1/N scaling)."""
-    n = a.shape[0]
+    n = int(a.shape[0])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return a
-    rest = a.shape[1:]
-    pw = jnp.asarray(_root_powers(log_n, inverse))
+    xp = xp_of(a)
+    rest = tuple(a.shape[1:])
+    pw = _root_powers(log_n, inverse)
     for s in range(log_n):
         half = n >> (s + 1)
         tw = pw[:: 1 << s][:half]
@@ -102,32 +104,33 @@ def dif(a, inverse: bool = False):
         x1 = x[:, 1]
         lo = bb.add(x0, x1)
         hi = bb.mul(bb.sub(x0, x1), _bcast(tw, len(rest))[None])
-        a = jnp.stack([lo, hi], axis=1).reshape((n,) + rest)
+        a = xp.stack([lo, hi], axis=1).reshape((n,) + rest)
     return a
 
 
 def dit(a, inverse: bool = False):
     """Bitrev-in, natural-out radix-2 DIT over axis 0 (no 1/N scaling)."""
-    n = a.shape[0]
+    n = int(a.shape[0])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     if n == 1:
         return a
-    rest = a.shape[1:]
-    pw = jnp.asarray(_root_powers(log_n, inverse))
+    xp = xp_of(a)
+    rest = tuple(a.shape[1:])
+    pw = _root_powers(log_n, inverse)
     for s in range(log_n - 1, -1, -1):
         half = n >> (s + 1)
         tw = pw[:: 1 << s][:half]
         x = a.reshape((1 << s, 2, half) + rest)
         e = x[:, 0]
         o = bb.mul(x[:, 1], _bcast(tw, len(rest))[None])
-        a = jnp.stack([bb.add(e, o), bb.sub(e, o)], axis=1).reshape((n,) + rest)
+        a = xp.stack([bb.add(e, o), bb.sub(e, o)], axis=1).reshape((n,) + rest)
     return a
 
 
 def _scale_inv_n(a, log_n: int):
     inv_n = bb.monty_scalar(bb.h_inv(1 << log_n))
-    return bb.mul(a, jnp.uint32(inv_n))
+    return bb.mul(a, np.uint32(inv_n))
 
 
 # ---------------------------------------------------------------------------
@@ -137,7 +140,7 @@ def _scale_inv_n(a, log_n: int):
 
 def ntt(a):
     """Coefficients (natural) -> evaluations (natural)."""
-    return dit(a[jnp.asarray(bitrev_indices(a.shape[0].bit_length() - 1))], False)
+    return dit(a[bitrev_indices(int(a.shape[0]).bit_length() - 1)], False)
 
 
 def intt(a):
@@ -145,15 +148,15 @@ def intt(a):
     n = a.shape[0]
     log_n = n.bit_length() - 1
     coeffs_rev = dif(a, inverse=True)
-    coeffs = coeffs_rev[jnp.asarray(bitrev_indices(log_n))]
+    coeffs = coeffs_rev[bitrev_indices(log_n)]
     return _scale_inv_n(coeffs, log_n)
 
 
 def coset_eval_from_coeffs(coeffs, shift: int, out_bitrev: bool = False):
     """Evaluate polynomial (natural coeffs, len N) on coset shift·H_N."""
-    n = coeffs.shape[0]
+    n = int(coeffs.shape[0])
     log_n = n.bit_length() - 1
-    sp = jnp.asarray(shift_powers(shift, log_n))
+    sp = shift_powers(shift, log_n)
     scaled = bb.mul(coeffs, _bcast(sp, coeffs.ndim - 1))
     if out_bitrev:
         return dif(scaled, False)
@@ -162,10 +165,10 @@ def coset_eval_from_coeffs(coeffs, shift: int, out_bitrev: bool = False):
 
 def coset_intt(evals, shift: int):
     """Evaluations on coset shift·H_N (natural) -> coefficients (natural)."""
-    n = evals.shape[0]
+    n = int(evals.shape[0])
     log_n = n.bit_length() - 1
     coeffs = intt(evals)
-    sp_inv = jnp.asarray(shift_powers(bb.h_inv(shift % bb.P), log_n))
+    sp_inv = shift_powers(bb.h_inv(shift % bb.P), log_n)
     return bb.mul(coeffs, _bcast(sp_inv, coeffs.ndim - 1))
 
 
@@ -175,11 +178,10 @@ def coset_lde(evals, log_blowup: int, shift: int, out_bitrev: bool = False):
     Mirrors the PCS commit path (`derive/src/lib.rs:307-331` via Plonky3
     TwoAdicFriPcs): iNTT, zero-pad, coset NTT.
     """
-    n = evals.shape[0]
     coeffs = intt(evals)
-    del n
-    padded = jnp.concatenate(
-        [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << log_blowup) - 1),
+    xp = xp_of(coeffs)
+    padded = xp.concatenate(
+        [coeffs] + [xp.zeros_like(coeffs)] * ((1 << log_blowup) - 1),
         axis=0,
     )
     return coset_eval_from_coeffs(padded, shift, out_bitrev=out_bitrev)
@@ -199,7 +201,7 @@ def eval_at_ext_point(coeffs, z_powers):
         # [N, C] * [N, 1] summed over N with modular adds
         prod = bb.mul(coeffs, z_powers[:, d][:, None])
         out.append(_mod_sum(prod, axis=0))
-    return jnp.stack(out, axis=-1)
+    return xp_of(coeffs).stack(out, axis=-1)
 
 
 def _mod_sum(x, axis=0):
@@ -208,14 +210,15 @@ def _mod_sum(x, axis=0):
     Accumulate in uint64?  TPU lacks u64 — use pairwise tree reduction with
     modular adds instead (log depth, fully vectorized).
     """
-    n = x.shape[axis]
-    x = jnp.moveaxis(x, axis, 0)
+    xp = xp_of(x)
+    n = int(x.shape[axis])
+    x = xp.moveaxis(x, axis, 0)
     size = 1
     while size < n:
         size <<= 1
     if size != n:
-        pad = jnp.zeros((size - n,) + x.shape[1:], dtype=x.dtype)
-        x = jnp.concatenate([x, pad], axis=0)
+        pad = xp.zeros((size - n,) + tuple(x.shape[1:]), dtype=x.dtype)
+        x = xp.concatenate([x, pad], axis=0)
     while x.shape[0] > 1:
         half = x.shape[0] // 2
         x = bb.add(x[:half], x[half:])
