@@ -1,0 +1,74 @@
+"""Headline benchmark: BabyBear NTT butterflies/sec on one chip.
+
+Runs the jitted radix-2 DIF NTT (the prover's dominant kernel: LDE /
+quotient / FRI all ride on it) on the default platform (TPU when present),
+and compares against the single-host numpy backend as the CPU baseline —
+mirroring BASELINE.md's "field kernel throughput; NTT butterflies/sec/chip
+is the headline metric".
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def bench_ntt_jax(log_n=20, cols=8, iters=8):
+    import jax
+    import jax.numpy as jnp
+    from valida_tpu.poly import ntt as nttm
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 2013265921, size=(n, cols), dtype=np.uint32))
+    f = jax.jit(nttm.dif)
+    y = f(x)
+    _ = np.asarray(y[0])  # compile + full sync through any transport
+    t0 = time.perf_counter()
+    y = x
+    for _ in range(iters):
+        y = f(y)  # chained: iterations serialize on the data dependency
+    _ = np.asarray(y[0])  # force completion with a tiny fetch
+    dt = (time.perf_counter() - t0) / iters
+    butterflies = (n // 2) * log_n * cols
+    return butterflies / dt, dt
+
+
+def bench_ntt_numpy(log_n=18, cols=8, iters=3):
+    from valida_tpu.poly import ntt as nttm
+
+    n = 1 << log_n
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2013265921, size=(n, cols), dtype=np.uint32)
+    nttm.dif(x)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        nttm.dif(x)
+    dt = (time.perf_counter() - t0) / iters
+    butterflies = (n // 2) * log_n * cols
+    return butterflies / dt, dt
+
+
+def main():
+    tput_dev, _ = bench_ntt_jax()
+    tput_np, _ = bench_ntt_numpy()
+    print(
+        json.dumps(
+            {
+                "metric": "babybear_ntt_butterflies_per_sec",
+                "value": tput_dev,
+                "unit": "butterflies/s",
+                "vs_baseline": tput_dev / tput_np,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,70 +42,74 @@ for _t in range(24):
     _x, _y = _y, (2 * _x + 3 * _y) % 5
 
 
-def _rotl(lo, hi, r):
-    r %= 64
-    if r == 0:
-        return lo, hi
-    if r == 32:
-        return hi, lo
-    if r < 32:
-        nlo = (lo << r) | (hi >> (32 - r))
-        nhi = (hi << r) | (lo >> (32 - r))
-        return nlo, nhi
-    r -= 32
-    nlo = (hi << r) | (lo >> (32 - r))
-    nhi = (lo << r) | (hi >> (32 - r))
+# Vectorization tables for the fully-lane-parallel permutation below.
+# pi: dst lane (x + 5y) -> src lane; SRC[dst] = src.
+_PI_SRC = np.zeros(25, dtype=np.int32)
+for _x in range(5):
+    for _y in range(5):
+        _src = _x + 5 * _y
+        _dst = _y + 5 * ((2 * _x + 3 * _y) % 5)
+        _PI_SRC[_dst] = _src
+_RHO_ARR = np.array(_RHO, dtype=np.uint32)
+# per-lane 64-bit rotation split into (swap halves, rotate-by r%32)
+_ROT_SWAP = (_RHO_ARR >= 32).astype(np.uint32)
+_ROT_R = (_RHO_ARR % 32).astype(np.uint32)
+# iota: round constant vectors with only lane 0 set
+_RC_LO_VEC = np.zeros((24, 25), dtype=np.uint32)
+_RC_HI_VEC = np.zeros((24, 25), dtype=np.uint32)
+_RC_LO_VEC[:, 0] = _RC_LO
+_RC_HI_VEC[:, 0] = _RC_HI
+
+
+def _rotl64_vec(xp, lo, hi, swap, r):
+    """Rotate 25 (lo, hi) lane pairs left by per-lane amounts.
+
+    swap: uint32[25] (1 if rotation >= 32); r: uint32[25] = rotation % 32.
+    Shifts use (v >> (31 - r)) >> 1 so r = 0 stays defined.
+    """
+    a = xp.where(swap == 1, hi, lo)
+    b = xp.where(swap == 1, lo, hi)
+    r31 = np.uint32(31) - r
+    nlo = (a << r) | ((b >> r31) >> np.uint32(1))
+    nhi = (b << r) | ((a >> r31) >> np.uint32(1))
     return nlo, nhi
 
 
 def keccak_f(lo, hi):
-    """One Keccak-f[1600] permutation.
+    """One Keccak-f[1600] permutation, vectorized across all 25 lanes.
 
     lo, hi: uint32 arrays of shape [..., 25] (lane index = x + 5*y).
     """
+    xp = xp_of(lo)
+    batch = lo.shape[:-1]
     for rnd in range(24):
-        # theta
-        c_lo = [None] * 5
-        c_hi = [None] * 5
-        for x in range(5):
-            cl = lo[..., x]
-            ch = hi[..., x]
-            for y in range(1, 5):
-                cl = cl ^ lo[..., x + 5 * y]
-                ch = ch ^ hi[..., x + 5 * y]
-            c_lo[x], c_hi[x] = cl, ch
-        d_lo = [None] * 5
-        d_hi = [None] * 5
-        for x in range(5):
-            rl, rh = _rotl(c_lo[(x + 1) % 5], c_hi[(x + 1) % 5], 1)
-            d_lo[x] = c_lo[(x - 1) % 5] ^ rl
-            d_hi[x] = c_hi[(x - 1) % 5] ^ rh
-        a_lo = [lo[..., i] ^ d_lo[i % 5] for i in range(25)]
-        a_hi = [hi[..., i] ^ d_hi[i % 5] for i in range(25)]
-        # rho + pi
-        b_lo = [None] * 25
-        b_hi = [None] * 25
-        for x in range(5):
-            for y in range(5):
-                src = x + 5 * y
-                dst = y + 5 * ((2 * x + 3 * y) % 5)
-                b_lo[dst], b_hi[dst] = _rotl(a_lo[src], a_hi[src], _RHO[src])
-        # chi
-        n_lo = [None] * 25
-        n_hi = [None] * 25
-        for y in range(5):
-            for x in range(5):
-                i = x + 5 * y
-                i1 = (x + 1) % 5 + 5 * y
-                i2 = (x + 2) % 5 + 5 * y
-                n_lo[i] = b_lo[i] ^ (~b_lo[i1] & b_lo[i2])
-                n_hi[i] = b_hi[i] ^ (~b_hi[i1] & b_hi[i2])
+        # theta: C[x] = xor over y; D[x] = C[x-1] ^ rotl1(C[x+1])
+        l5 = lo.reshape(batch + (5, 5))  # [..., y, x]
+        h5 = hi.reshape(batch + (5, 5))
+        c_lo = l5[..., 0, :] ^ l5[..., 1, :] ^ l5[..., 2, :] ^ l5[..., 3, :] ^ l5[..., 4, :]
+        c_hi = h5[..., 0, :] ^ h5[..., 1, :] ^ h5[..., 2, :] ^ h5[..., 3, :] ^ h5[..., 4, :]
+        c1_lo = xp.roll(c_lo, -1, axis=-1)  # C[x+1]
+        c1_hi = xp.roll(c_hi, -1, axis=-1)
+        r1_lo = (c1_lo << np.uint32(1)) | (c1_hi >> np.uint32(31))
+        r1_hi = (c1_hi << np.uint32(1)) | (c1_lo >> np.uint32(31))
+        d_lo = xp.roll(c_lo, 1, axis=-1) ^ r1_lo  # C[x-1] ^ rotl1(C[x+1])
+        d_hi = xp.roll(c_hi, 1, axis=-1) ^ r1_hi
+        lo = (l5 ^ d_lo[..., None, :]).reshape(batch + (25,))
+        hi = (h5 ^ d_hi[..., None, :]).reshape(batch + (25,))
+        # rho + pi: rotate each lane, then permute lanes
+        rl, rh = _rotl64_vec(xp, lo, hi, _ROT_SWAP, _ROT_R)
+        b_lo = rl[..., _PI_SRC]
+        b_hi = rh[..., _PI_SRC]
+        # chi: b ^ (~b[x+1] & b[x+2]) along x
+        b5_lo = b_lo.reshape(batch + (5, 5))
+        b5_hi = b_hi.reshape(batch + (5, 5))
+        n_lo = b5_lo ^ (~xp.roll(b5_lo, -1, axis=-1) & xp.roll(b5_lo, -2, axis=-1))
+        n_hi = b5_hi ^ (~xp.roll(b5_hi, -1, axis=-1) & xp.roll(b5_hi, -2, axis=-1))
+        lo = n_lo.reshape(batch + (25,))
+        hi = n_hi.reshape(batch + (25,))
         # iota
-        n_lo[0] = n_lo[0] ^ np.uint32(_RC_LO[rnd])
-        n_hi[0] = n_hi[0] ^ np.uint32(_RC_HI[rnd])
-        xp = xp_of(n_lo[0])
-        lo = xp.stack(n_lo, axis=-1)
-        hi = xp.stack(n_hi, axis=-1)
+        lo = lo ^ _RC_LO_VEC[rnd]
+        hi = hi ^ _RC_HI_VEC[rnd]
     return lo, hi
 
 
