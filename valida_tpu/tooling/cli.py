@@ -1,0 +1,110 @@
+"""Command-line interface (mirrors `basic/src/bin/valida.rs:40-61`):
+
+    valida <run|prove|verify|interactive> <program> <action_file>
+           [--stack-height N] [advice]
+
+plus an `asm` subcommand exposing the assembler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core.advice import GlobalAdviceProvider, FixedAdviceProvider
+from ..core.config import default_config
+from ..machine.basic import BasicMachine
+from .elf import load_executable_file
+from .serde import serialize_proof, deserialize_proof
+from .assembler import assemble
+from .repl import Repl
+
+
+def _build_machine(args):
+    with open(args.program, "rb") as f:
+        program = load_executable_file(f.read())
+
+    def make():
+        m = BasicMachine()
+        m.program().set_program_rom(program.code)
+        m.cpu().fp = args.stack_height
+        m.cpu().pc = program.initial_program_counter
+        m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+        m.static_data().load(program.data)
+        return m
+
+    return make, program
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="valida")
+    parser.add_argument("action",
+                        choices=["run", "prove", "verify", "interactive", "asm"])
+    parser.add_argument("program", help="program file (ELF or machine code; "
+                                        "assembly source for `asm`)")
+    parser.add_argument("action_file", nargs="?",
+                        help="output tape / proof path / asm output")
+    parser.add_argument("--stack-height", type=int, default=16777216)
+    parser.add_argument("advice", nargs="?", default=None)
+    parser.add_argument("--numpy", action="store_true",
+                        help="prove on the numpy host backend")
+    parser.add_argument("--no-debug-checks", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.action == "asm":
+        with open(args.program) as f:
+            code = assemble(f.read())
+        if args.action_file:
+            with open(args.action_file, "wb") as f:
+                f.write(code)
+        else:
+            sys.stdout.buffer.write(code)
+        return 0
+
+    if args.numpy or args.action == "verify":
+        from .. import backend
+
+        backend.set_backend("numpy")
+
+    make, _program = _build_machine(args)
+
+    if args.action == "interactive":
+        advice = GlobalAdviceProvider(args.advice) if args.advice else FixedAdviceProvider.empty()
+        Repl(make, advice).run()
+        return 0
+
+    machine = make()
+    advice = GlobalAdviceProvider(args.advice) if args.advice else FixedAdviceProvider.empty()
+
+    if args.action == "run":
+        machine.run(advice=advice)
+        with open(args.action_file, "wb") as f:
+            f.write(machine.output().bytes())
+        return 0
+
+    config = default_config(debug_checks=not args.no_debug_checks)
+
+    if args.action == "prove":
+        machine.run(advice=advice)
+        proof = machine.prove(config)
+        machine.verify(config, proof)
+        with open(args.action_file, "wb") as f:
+            f.write(serialize_proof(proof))
+        print("Proof successful")
+        return 0
+
+    if args.action == "verify":
+        machine.run(advice=advice)
+        with open(args.action_file, "rb") as f:
+            proof = deserialize_proof(f.read())
+        try:
+            machine.verify(config, proof)
+            print("Proof verified")
+            return 0
+        except Exception as e:
+            print(f"Proof verification failed: {e}")
+            return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
