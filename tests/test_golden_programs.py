@@ -1,0 +1,145 @@
+"""Golden prover tests ported from the reference
+(`basic/tests/test_prover.rs`, `basic/tests/test_static_data.rs`):
+left-immediate ops, signed/unsigned comparisons, loadfp, static data —
+with the exact memory-cell truth tables."""
+
+import numpy as np
+import pytest
+
+from valida_tpu.core import opcodes as OC
+from valida_tpu.core.advice import FixedAdviceProvider
+from valida_tpu.core.config import test_config
+from valida_tpu.core.program import ProgramROM, InstructionWord, Operands
+from valida_tpu.machine.basic import BasicMachine
+
+
+def iw(opcode, a=0, b=0, c=0, d=0, e=0):
+    return InstructionWord(opcode, Operands((a, b, c, d, e)))
+
+
+def prove_program(program, static_data=None):
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(program))
+    if static_data:
+        for addr, value in static_data.items():
+            m.static_data().write(addr, value)
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    m.run(advice=FixedAdviceProvider.empty())
+    config = test_config()
+    proof = m.prove(config)
+    m.verify(config, proof)
+    return m
+
+
+def test_prove_left_imm_ops():
+    """test_prover.rs:190-262 + :489-533."""
+    program = [
+        iw(OC.IMM32, -4, 0, 0, 0, 3),
+        iw(OC.IMM32, -8, 0, 0, 1, 0),  # 256
+        iw(OC.LT32, 4, 3, -4, 1, 0),
+        iw(OC.LTE32, 8, 3, -4, 1, 0),
+        iw(OC.LT32, 12, 4, -4, 1, 0),
+        iw(OC.LTE32, 16, 4, -4, 1, 0),
+        iw(OC.LT32, 20, 2, -4, 1, 0),
+        iw(OC.LTE32, 24, 2, -4, 1, 0),
+        iw(OC.LT32, 28, 256, -4, 1, 0),
+        iw(OC.LTE32, 32, 256, -4, 1, 0),
+        iw(OC.LT32, 36, 3, -8, 1, 0),
+        iw(OC.LTE32, 40, 3, -8, 1, 0),
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    cells = m.mem().cells
+    expect = {4: 0, 8: 1, 12: 0, 16: 0, 20: 1, 24: 1, 28: 0, 32: 0, 36: 1, 40: 1}
+    for off, want in expect.items():
+        assert cells[0x1000 + off] == want, f"offset {off}"
+
+
+def test_prove_signed_inequality():
+    """test_prover.rs:264-379 + :536-609."""
+    program = [
+        iw(OC.IMM32, -4, 0, 0, 0, 1),
+        iw(OC.IMM32, -8, 255, 255, 255, 255),
+        iw(OC.IMM32, -12, 255, 255, 255, 254),
+        iw(OC.SLT32, 4, -12, -8, 0, 0),
+        iw(OC.SLT32, 8, -12, -4, 0, 0),
+        iw(OC.SLT32, 12, -4, -1, 0, 1),
+        iw(OC.SLT32, 16, -1, -8, 1, 0),
+        iw(OC.SLE32, 20, -1, -8, 1, 0),
+        iw(OC.SLT32, 24, -1, -12, 1, 0),
+        iw(OC.SLT32, 28, -8, -12, 0, 0),
+        iw(OC.SLT32, 32, -8, -4, 0, 0),
+        iw(OC.LT32, 36, -12, -8, 0, 0),
+        iw(OC.LT32, 40, -12, -4, 0, 0),
+        iw(OC.LT32, 44, -4, -1, 0, 1),
+        iw(OC.LT32, 48, -1, -8, 1, 0),
+        iw(OC.LTE32, 52, -1, -8, 1, 0),
+        iw(OC.LT32, 56, -1, -12, 1, 0),
+        iw(OC.LT32, 60, -8, -12, 0, 0),
+        iw(OC.LT32, 64, -8, -4, 0, 0),
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    cells = m.mem().cells
+    expect = {
+        4: 1, 8: 1, 12: 0, 16: 0, 20: 1, 24: 0, 28: 0, 32: 1,  # signed
+        36: 1, 40: 0, 44: 1, 48: 0, 52: 1, 56: 0, 60: 0, 64: 0,  # unsigned
+    }
+    for off, want in expect.items():
+        assert cells[0x1000 + off] == want, f"offset {off}"
+
+
+def test_prove_loadfp():
+    """test_prover.rs:381-402 + :611-625."""
+    program = [
+        iw(OC.LOADFP, 4, 0, 0, 0, 0),
+        iw(OC.LOADFP, 8, 3, 0, 0, 0),
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    assert m.mem().cells[0x1000 + 4] == 0x1000
+    assert m.mem().cells[0x1000 + 8] == 0x1003
+
+
+def test_prove_static_data():
+    """test_static_data.rs:31-60: loops forever unless the static cell at
+    0x10 holds 0x25."""
+    program = [
+        iw(OC.IMM32, 0, 0, 0, 0, 0x10),
+        iw(OC.LOAD32, -4, 0, 0, 0, 0),
+        iw(OC.BNE, 0, -4, 0x25, 0, 1),
+        iw(OC.STOP),
+    ]
+    m = prove_program(program, static_data={0x10: 0x25, 0x14: 0x32})
+    assert m.cpu().clock == 4
+
+
+def test_prove_alu_mix():
+    """Beyond the reference: exercise mul/div/shift/bitwise/com chips with
+    cross-chip delegation in one proved program."""
+    program = [
+        iw(OC.IMM32, -4, 0, 0, 0, 100),
+        iw(OC.IMM32, -8, 0, 0, 0, 7),
+        iw(OC.MUL32, -12, -4, -8, 0, 0),   # 700
+        iw(OC.DIV32, -16, -12, -8, 0, 0),  # 100
+        iw(OC.SHL32, -20, -8, 2, 0, 1),    # 28
+        iw(OC.SHR32, -24, -4, 3, 0, 1),    # 12
+        iw(OC.AND32, -28, -4, -8, 0, 0),   # 100 & 7 = 4
+        iw(OC.OR32, -32, -4, -8, 0, 0),    # 100 | 7 = 103
+        iw(OC.XOR32, -36, -4, -8, 0, 0),   # 100 ^ 7 = 99
+        iw(OC.EQ32, -40, -4, -8, 0, 0),    # 0
+        iw(OC.NE32, -44, -4, -8, 0, 0),    # 1
+        iw(OC.SUB32, -48, -4, -8, 0, 0),   # 93
+        iw(OC.MULHU32, -52, -4, -8, 0, 0), # 0
+        iw(OC.SRA32, -56, -4, 4, 0, 1),    # 6
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    cells = m.mem().cells
+    expect = {
+        -12: 700, -16: 100, -20: 28, -24: 12, -28: 4, -32: 103, -36: 99,
+        -40: 0, -44: 1, -48: 93, -52: 0, -56: 6,
+    }
+    for off, want in expect.items():
+        assert cells[0x1000 + off] == want, f"offset {off}"

@@ -280,6 +280,17 @@ class Mul32Chip(Chip):
         rows[:, MUL_COUNTER] = np.arange(1, n2 + 1, dtype=np.uint32)
         return rows
 
+    def global_sends(self, machine):
+        # intended design: outputs are byte-range-checked (the reference's
+        # mul execute calls range_check but the chip never sends, leaving
+        # the range bus unbalanced for any mul program)
+        is_real = VPCol.sum_main([MUL_IS_MUL, MUL_IS_MULHS, MUL_IS_MULHU])
+        return [
+            Interaction(fields=[VPCol.single_main(c)], count=is_real,
+                        bus=machine.range_bus())
+            for c in MUL_OUT
+        ]
+
     def global_receives(self, machine):
         opcode = VPCol(
             [(("main", MUL_IS_MUL), OC.MUL32),
@@ -376,6 +387,15 @@ class Div32Chip(Chip):
             _word_cols(rows, i, DIV_OUT, a)
             rows[i, flag[kind]] = 1
         return pad_to_power_of_two(rows) if n else rows
+
+    def global_sends(self, machine):
+        # intended design: see Mul32Chip.global_sends
+        is_real = VPCol.sum_main([DIV_IS_DIV, DIV_IS_SDIV])
+        return [
+            Interaction(fields=[VPCol.single_main(c)], count=is_real,
+                        bus=machine.range_bus())
+            for c in DIV_OUT
+        ]
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -882,7 +902,8 @@ def _shift_exec(kind, opcode, fn):
         else:
             m.div_u32().operations.append(("sdiv", a, b, d))
         m.shift_u32().operations.append((kind, a, b, c))
-        _finish(m, ops, opcode, a, imm, range_check=False)
+        # the delegated mul/div row sends its output bytes to the range bus
+        _finish(m, ops, opcode, a, imm, range_check=True)
 
     return ex
 

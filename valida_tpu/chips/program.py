@@ -11,11 +11,39 @@ from __future__ import annotations
 import numpy as np
 
 from ..air.types import VPCol, Interaction
+from ..core import opcodes as OC
 from ..core.program import ProgramROM
+from ..core.word import MASK32
+from ..field import babybear as bb
 from .chip import Chip
 
 MULTIPLICITY = 0
 NUM_PROGRAM_COLS = 1
+
+# Opcodes whose immediate operand (e == 1 -> operand c; d == 1 -> operand b
+# for the lt family) is reinterpreted as a u32 by execution and therefore
+# rewritten to `reduce(imm word)` in the CPU trace (cpu/src/lib.rs:359-381).
+# The ROM encoding must match, or the program bus cannot balance for
+# negative immediates (u32 reinterpretation != field negation).
+_IMM_C_OPCODES = {
+    OC.ADD32, OC.SUB32, OC.MUL32, OC.MULHS32, OC.MULHU32, OC.DIV32,
+    OC.SDIV32, OC.LT32, OC.LTE32, OC.SLT32, OC.SLE32, OC.NE32, OC.EQ32,
+    OC.AND32, OC.OR32, OC.XOR32, OC.SHL32, OC.SHR32, OC.SRA32,
+    OC.BEQ, OC.BNE, OC.ADD, OC.SUB, OC.MUL,
+}
+_IMM_B_OPCODES = {OC.LT32, OC.LTE32, OC.SLT32, OC.SLE32}
+
+
+def encode_operands_for_bus(iw) -> tuple:
+    """Field encoding of an instruction's operands as the CPU trace emits
+    them on the program bus."""
+    ops = list(iw.operands.to_field())
+    raw = iw.operands.ops
+    if iw.opcode in _IMM_C_OPCODES and raw[4] == 1:
+        ops[2] = (raw[2] & MASK32) % bb.P
+    if iw.opcode in _IMM_B_OPCODES and raw[3] == 1:
+        ops[1] = (raw[1] & MASK32) % bb.P
+    return tuple(ops)
 
 P_PC = 0
 P_OPCODE = 1
@@ -54,10 +82,10 @@ class ProgramChip(Chip):
         rows = np.zeros((n2, NUM_PREPROCESSED_COLS), dtype=np.uint32)
         for i, iw in enumerate(self.program_rom.instructions):
             rows[i, P_PC] = i
-            flat = iw.flatten()
-            rows[i, P_OPCODE] = flat[0]
+            rows[i, P_OPCODE] = iw.opcode % bb.P
+            ops = encode_operands_for_bus(iw)
             for k in range(5):
-                rows[i, P_OPERANDS[k]] = flat[1 + k]
+                rows[i, P_OPERANDS[k]] = ops[k]
         rows[n:, P_PC] = np.arange(n, n2)
         return rows
 
