@@ -68,6 +68,35 @@ def _word_cols(rows, i, cols, value):
         rows[i, cols[k]] = byte
 
 
+def _ops_to_arrays(operations, kinds=None):
+    """List of (kind?, a, b, c) tuples -> (kind u32[n], a, b, c u32[n])."""
+    n = len(operations)
+    if n and len(operations[0]) == 4:
+        kind_map = {k: i for i, k in enumerate(kinds)}
+        k = np.fromiter((kind_map[op[0]] for op in operations), dtype=np.uint32, count=n)
+        a = np.fromiter((op[1] for op in operations), dtype=np.uint32, count=n)
+        b = np.fromiter((op[2] for op in operations), dtype=np.uint32, count=n)
+        c = np.fromiter((op[3] for op in operations), dtype=np.uint32, count=n)
+    else:
+        k = np.zeros(n, dtype=np.uint32)
+        a = np.fromiter((op[0] for op in operations), dtype=np.uint32, count=n)
+        b = np.fromiter((op[1] for op in operations), dtype=np.uint32, count=n)
+        c = np.fromiter((op[2] for op in operations), dtype=np.uint32, count=n)
+    return k, a, b, c
+
+
+def _byte_cols(rows, sl, cols, values):
+    """Scatter the 4 big-endian bytes of values (u32[n]) into columns."""
+    for i, col in enumerate(cols):
+        rows[sl, col] = (values >> np.uint32(8 * (3 - i))) & np.uint32(0xFF)
+
+
+def _bytes_of(values):
+    """u32[n] -> int64[n, 4] big-endian bytes."""
+    v = values.astype(np.int64)
+    return np.stack([(v >> (8 * (3 - i))) & 0xFF for i in range(4)], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Add32
 # ---------------------------------------------------------------------------
@@ -91,19 +120,21 @@ class Add32Chip(Chip):
         return NUM_ADD_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
-        rows = np.zeros((max(n, 1), NUM_ADD_COLS), dtype=np.uint32)
-        for i, (a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, ADD_IN1, b)
-            _word_cols(rows, i, ADD_IN2, c)
-            _word_cols(rows, i, ADD_OUT, a)
-            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
-            carry = 0
-            for k, col in zip([3, 2, 1], ADD_CARRY):
-                carry = 1 if bb_[k] + cb[k] + carry > 255 else 0
-                rows[i, col] = carry
-            rows[i, ADD_IS_REAL] = 1
-        return pad_to_power_of_two(rows) if n else rows
+        _k, a, b, c = _ops_to_arrays(self.operations)
+        n = len(a)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_ADD_COLS), dtype=np.uint32)
+        sl = slice(0, n)
+        _byte_cols(rows, sl, ADD_IN1, b)
+        _byte_cols(rows, sl, ADD_IN2, c)
+        _byte_cols(rows, sl, ADD_OUT, a)
+        bb_, cb = _bytes_of(b), _bytes_of(c)
+        carry = np.zeros(n, dtype=np.int64)
+        for k, col in zip([3, 2, 1], ADD_CARRY):
+            carry = (bb_[:, k] + cb[:, k] + carry > 255).astype(np.int64)
+            rows[sl, col] = carry
+        rows[sl, ADD_IS_REAL] = 1
+        return rows
 
     def global_sends(self, machine):
         return [
@@ -168,19 +199,21 @@ class Sub32Chip(Chip):
         return NUM_SUB_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
-        rows = np.zeros((max(n, 1), NUM_SUB_COLS), dtype=np.uint32)
-        for i, (a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, SUB_IN1, b)
-            _word_cols(rows, i, SUB_IN2, c)
-            _word_cols(rows, i, SUB_OUT, a)
-            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
-            borrow = 0
-            for k, col in zip([3, 2, 1], SUB_BORROW):
-                borrow = 1 if bb_[k] - borrow < cb[k] else 0
-                rows[i, col] = borrow
-            rows[i, SUB_IS_REAL] = 1
-        return pad_to_power_of_two(rows) if n else rows
+        _k, a, b, c = _ops_to_arrays(self.operations)
+        n = len(a)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_SUB_COLS), dtype=np.uint32)
+        sl = slice(0, n)
+        _byte_cols(rows, sl, SUB_IN1, b)
+        _byte_cols(rows, sl, SUB_IN2, c)
+        _byte_cols(rows, sl, SUB_OUT, a)
+        bb_, cb = _bytes_of(b), _bytes_of(c)
+        borrow = np.zeros(n, dtype=np.int64)
+        for k, col in zip([3, 2, 1], SUB_BORROW):
+            borrow = (bb_[:, k] - borrow < cb[:, k]).astype(np.int64)
+            rows[sl, col] = borrow
+        rows[sl, SUB_IS_REAL] = 1
+        return rows
 
     def global_sends(self, machine):
         return [
@@ -249,34 +282,32 @@ class Mul32Chip(Chip):
         return NUM_MUL_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
+        kinds, a, b, c = _ops_to_arrays(self.operations, ["mul", "mulhs", "mulhu"])
+        n = len(a)
         n2 = max(1 << max((n - 1).bit_length(), 0) if n else 1, MUL_MIN_LENGTH)
         rows = np.zeros((n2, NUM_MUL_COLS), dtype=np.uint32)
-        flag = {"mul": MUL_IS_MUL, "mulhs": MUL_IS_MULHS, "mulhu": MUL_IS_MULHU}
-        for i, (kind, a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, MUL_IN1, b)
-            _word_cols(rows, i, MUL_IN2, c)
-            _word_cols(rows, i, MUL_OUT, a)
-            rows[i, flag[kind]] = 1
-            if kind == "mul":
-                # witness the congruence quotients (reference leaves 0)
-                bb_, cb, ab = u32_to_bytes(b), u32_to_bytes(c), u32_to_bytes(a)
-                pi = sum(
-                    (1 << (8 * (x + y))) * bb_[3 - x] * cb[3 - y]
-                    for x in range(4)
-                    for y in range(4)
-                    if x + y < 4
-                )
-                sigma = sum((1 << (8 * k)) * ab[3 - k] for k in range(4))
-                rows[i, MUL_R] = ((pi - sigma) // 2) % bb.P
-                pi_p = sum(
-                    (1 << (8 * (x + y))) * bb_[3 - x] * cb[3 - y]
-                    for x in range(2)
-                    for y in range(2)
-                    if x + y < 2
-                )
-                sigma_p = sum((1 << (8 * k)) * ab[3 - k] for k in range(2))
-                rows[i, MUL_S] = ((pi_p - sigma_p) // (1 << 16)) % bb.P
+        sl = slice(0, n)
+        _byte_cols(rows, sl, MUL_IN1, b)
+        _byte_cols(rows, sl, MUL_IN2, c)
+        _byte_cols(rows, sl, MUL_OUT, a)
+        for ki, col in enumerate([MUL_IS_MUL, MUL_IS_MULHS, MUL_IS_MULHU]):
+            rows[sl, col] = (kinds == ki).astype(np.uint32)
+        # congruence quotients for is_mul rows (pi fits int64: < 2^50)
+        bb_, cb, ab = _bytes_of(b), _bytes_of(c), _bytes_of(a)
+        pi = np.zeros(n, dtype=np.int64)
+        pi_p = np.zeros(n, dtype=np.int64)
+        for x in range(4):
+            for y in range(4):
+                if x + y < 4:
+                    t = (np.int64(1) << (8 * (x + y))) * bb_[:, 3 - x] * cb[:, 3 - y]
+                    pi += t
+                    if x < 2 and y < 2 and x + y < 2:
+                        pi_p += t
+        sigma = sum((np.int64(1) << (8 * k)) * ab[:, 3 - k] for k in range(4))
+        sigma_p = sum((np.int64(1) << (8 * k)) * ab[:, 3 - k] for k in range(2))
+        is_mul = kinds == 0
+        rows[sl, MUL_R] = np.where(is_mul, ((pi - sigma) // 2) % bb.P, 0).astype(np.uint32)
+        rows[sl, MUL_S] = np.where(is_mul, ((pi_p - sigma_p) // (1 << 16)) % bb.P, 0).astype(np.uint32)
         rows[:, MUL_COUNTER] = np.arange(1, n2 + 1, dtype=np.uint32)
         return rows
 
@@ -378,15 +409,17 @@ class Div32Chip(Chip):
         return NUM_DIV_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
-        rows = np.zeros((max(n, 1), NUM_DIV_COLS), dtype=np.uint32)
-        flag = {"div": DIV_IS_DIV, "sdiv": DIV_IS_SDIV}
-        for i, (kind, a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, DIV_IN1, b)
-            _word_cols(rows, i, DIV_IN2, c)
-            _word_cols(rows, i, DIV_OUT, a)
-            rows[i, flag[kind]] = 1
-        return pad_to_power_of_two(rows) if n else rows
+        kinds, a, b, c = _ops_to_arrays(self.operations, ["div", "sdiv"])
+        n = len(a)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_DIV_COLS), dtype=np.uint32)
+        sl = slice(0, n)
+        _byte_cols(rows, sl, DIV_IN1, b)
+        _byte_cols(rows, sl, DIV_IN2, c)
+        _byte_cols(rows, sl, DIV_OUT, a)
+        rows[sl, DIV_IS_DIV] = (kinds == 0).astype(np.uint32)
+        rows[sl, DIV_IS_SDIV] = (kinds == 1).astype(np.uint32)
+        return rows
 
     def global_sends(self, machine):
         # intended design: see Mul32Chip.global_sends
@@ -459,32 +492,40 @@ class Lt32Chip(Chip):
         return NUM_LT_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
-        rows = np.zeros((max(n, 1), NUM_LT_COLS), dtype=np.uint32)
-        flag = {"lt": LT_IS_LT, "lte": LT_IS_LTE, "slt": LT_IS_SLT,
-                "sle": LT_IS_SLE}
-        for i, (kind, a, b, c) in enumerate(self.operations):
-            signed = kind in ("slt", "sle")
-            _word_cols(rows, i, LT_IN1, b)
-            _word_cols(rows, i, LT_IN2, c)
-            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
-            rows[i, LT_OUT] = u32_to_bytes(a)[3]
-            rows[i, flag[kind]] = 1
-            for nb in range(4):
-                if bb_[nb] != cb[nb]:
-                    z = 256 + bb_[nb] - cb[nb]
-                    for k in range(9):
-                        rows[i, LT_BITS[k]] = (z >> k) & 1
-                    rows[i, LT_BYTE_FLAG[nb]] = 1
-                    rows[i, LT_DIFF_INV] = bb.h_inv((bb_[nb] - cb[nb]) % bb.P)
-                    break
-            for k in range(8):
-                rows[i, LT_TOP_BITS_1[k]] = (bb_[0] >> k) & 1
-                rows[i, LT_TOP_BITS_2[k]] = (cb[0] >> k) & 1
-            if signed and ((bb_[0] >> 7) != (cb[0] >> 7)):
-                rows[i, LT_DIFFERENT_SIGNS] = 1
-            rows[i, LT_MULT] = 1
-        return pad_to_power_of_two(rows) if n else rows
+        kinds, a, b, c = _ops_to_arrays(self.operations, ["lt", "lte", "slt", "sle"])
+        n = len(a)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_LT_COLS), dtype=np.uint32)
+        sl = slice(0, n)
+        _byte_cols(rows, sl, LT_IN1, b)
+        _byte_cols(rows, sl, LT_IN2, c)
+        rows[sl, LT_OUT] = a & np.uint32(0xFF)
+        for ki, col in enumerate([LT_IS_LT, LT_IS_LTE, LT_IS_SLT, LT_IS_SLE]):
+            rows[sl, col] = (kinds == ki).astype(np.uint32)
+        bb_, cb = _bytes_of(b), _bytes_of(c)
+        diffs = bb_ != cb  # [n, 4]
+        has_diff = diffs.any(axis=1)
+        nb = np.argmax(diffs, axis=1)  # first differing byte (BE order)
+        b_n = np.take_along_axis(bb_, nb[:, None], axis=1)[:, 0]
+        c_n = np.take_along_axis(cb, nb[:, None], axis=1)[:, 0]
+        z = 256 + b_n - c_n
+        for k in range(9):
+            rows[sl, LT_BITS[k]] = np.where(has_diff, (z >> k) & 1, 0).astype(np.uint32)
+        for fidx in range(4):
+            rows[sl, LT_BYTE_FLAG[fidx]] = (has_diff & (nb == fidx)).astype(np.uint32)
+        dinv = np.asarray(
+            bb.from_monty(bb.inv(bb.to_monty(((b_n - c_n) % bb.P).astype(np.uint32))))
+        )
+        rows[sl, LT_DIFF_INV] = np.where(has_diff, dinv, 0).astype(np.uint32)
+        for k in range(8):
+            rows[sl, LT_TOP_BITS_1[k]] = ((bb_[:, 0] >> k) & 1).astype(np.uint32)
+            rows[sl, LT_TOP_BITS_2[k]] = ((cb[:, 0] >> k) & 1).astype(np.uint32)
+        signed = kinds >= 2
+        rows[sl, LT_DIFFERENT_SIGNS] = (
+            signed & ((bb_[:, 0] >> 7) != (cb[:, 0] >> 7))
+        ).astype(np.uint32)
+        rows[sl, LT_MULT] = 1
+        return rows
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -629,19 +670,23 @@ class Com32Chip(Chip):
         return NUM_COM_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
-        rows = np.zeros((max(n, 1), NUM_COM_COLS), dtype=np.uint32)
-        for i, (kind, a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, COM_IN1, b)
-            _word_cols(rows, i, COM_IN2, c)
-            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
-            diff = sum(((x - y) % bb.P) ** 2 for x, y in zip(bb_, cb)) % bb.P
-            rows[i, COM_DIFF] = diff
-            rows[i, COM_DIFF_INV] = bb.h_inv(diff) if diff else 0
-            rows[i, COM_NOT_EQUAL] = 1 if diff else 0
-            rows[i, COM_OUT] = u32_to_bytes(a)[3]
-            rows[i, COM_IS_NE if kind == "ne" else COM_IS_EQ] = 1
-        return pad_to_power_of_two(rows) if n else rows
+        kinds, a, b, c = _ops_to_arrays(self.operations, ["ne", "eq"])
+        n = len(a)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_COM_COLS), dtype=np.uint32)
+        sl = slice(0, n)
+        _byte_cols(rows, sl, COM_IN1, b)
+        _byte_cols(rows, sl, COM_IN2, c)
+        bb_, cb = _bytes_of(b), _bytes_of(c)
+        diff = (((bb_ - cb) % bb.P) ** 2 % bb.P).sum(axis=1) % bb.P
+        rows[sl, COM_DIFF] = diff.astype(np.uint32)
+        dinv = np.asarray(bb.from_monty(bb.inv(bb.to_monty(diff.astype(np.uint32)))))
+        rows[sl, COM_DIFF_INV] = dinv
+        rows[sl, COM_NOT_EQUAL] = (diff != 0).astype(np.uint32)
+        rows[sl, COM_OUT] = a & np.uint32(0xFF)
+        rows[sl, COM_IS_NE] = (kinds == 0).astype(np.uint32)
+        rows[sl, COM_IS_EQ] = (kinds == 1).astype(np.uint32)
+        return rows
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -716,20 +761,22 @@ class Bitwise32Chip(Chip):
         return NUM_BITWISE_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
-        rows = np.zeros((max(n, 1), NUM_BITWISE_COLS), dtype=np.uint32)
-        flag = {"and": BW_IS_AND, "or": BW_IS_OR, "xor": BW_IS_XOR}
-        for i, (kind, a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, BW_IN1, b)
-            _word_cols(rows, i, BW_IN2, c)
-            _word_cols(rows, i, BW_OUT, a)
-            bb_, cb = u32_to_bytes(b), u32_to_bytes(c)
-            for byte in range(4):
-                for k in range(8):
-                    rows[i, BW_BITS_1[byte][k]] = (bb_[byte] >> k) & 1
-                    rows[i, BW_BITS_2[byte][k]] = (cb[byte] >> k) & 1
-            rows[i, flag[kind]] = 1
-        return pad_to_power_of_two(rows) if n else rows
+        kinds, a, b, c = _ops_to_arrays(self.operations, ["and", "or", "xor"])
+        n = len(a)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        rows = np.zeros((n2, NUM_BITWISE_COLS), dtype=np.uint32)
+        sl = slice(0, n)
+        _byte_cols(rows, sl, BW_IN1, b)
+        _byte_cols(rows, sl, BW_IN2, c)
+        _byte_cols(rows, sl, BW_OUT, a)
+        bb_, cb = _bytes_of(b), _bytes_of(c)
+        for byte in range(4):
+            for k in range(8):
+                rows[sl, BW_BITS_1[byte][k]] = ((bb_[:, byte] >> k) & 1).astype(np.uint32)
+                rows[sl, BW_BITS_2[byte][k]] = ((cb[:, byte] >> k) & 1).astype(np.uint32)
+        for ki, col in enumerate([BW_IS_AND, BW_IS_OR, BW_IS_XOR]):
+            rows[sl, col] = (kinds == ki).astype(np.uint32)
+        return rows
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -815,25 +862,25 @@ class Shift32Chip(Chip):
         return NUM_SHIFT_COLS
 
     def generate_trace(self, machine):
-        n = len(self.operations)
+        kinds, a, b, c = _ops_to_arrays(self.operations, ["shl", "shr", "sra"])
+        n = len(a)
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
         rows = np.zeros((n2, NUM_SHIFT_COLS), dtype=np.uint32)
         # padding rows witness shift-by-zero: temp = 1, 2^0 = 1 at the LSB
-        rows[:, SH_TEMP_1] = 1
-        rows[:, SH_POW[3]] = 1
-        flag = {"shl": SH_IS_SHL, "shr": SH_IS_SHR, "sra": SH_IS_SRA}
-        for i, (kind, a, b, c) in enumerate(self.operations):
-            _word_cols(rows, i, SH_IN1, b)
-            _word_cols(rows, i, SH_IN2, c)
-            _word_cols(rows, i, SH_OUT, a)
-            low = c & 0xFF
-            for k in range(8):
-                rows[i, SH_BITS_2[k]] = (low >> k) & 1
-            rows[i, SH_TEMP_1] = 1 << (low & 7)
-            for col in SH_POW:
-                rows[i, col] = 0
-            _word_cols(rows, i, SH_POW, 1 << (c & 31))
-            rows[i, flag[kind]] = 1
+        rows[n:, SH_TEMP_1] = 1
+        rows[n:, SH_POW[3]] = 1
+        sl = slice(0, n)
+        _byte_cols(rows, sl, SH_IN1, b)
+        _byte_cols(rows, sl, SH_IN2, c)
+        _byte_cols(rows, sl, SH_OUT, a)
+        low = c & np.uint32(0xFF)
+        for k in range(8):
+            rows[sl, SH_BITS_2[k]] = (low >> np.uint32(k)) & 1
+        rows[sl, SH_TEMP_1] = np.uint32(1) << (low & np.uint32(7))
+        pow2 = np.uint32(1) << (c & np.uint32(31))
+        _byte_cols(rows, sl, SH_POW, pow2)
+        for ki, col in enumerate([SH_IS_SHL, SH_IS_SHR, SH_IS_SRA]):
+            rows[sl, col] = (kinds == ki).astype(np.uint32)
         return rows
 
     def global_sends(self, machine):

@@ -100,90 +100,128 @@ class CpuChip(Chip):
         return NUM_CPU_COLS
 
     def generate_trace(self, machine):
+        """Vectorized (numpy) trace construction from the op log —
+        data-oriented per SURVEY.md §7; semantics identical to the
+        reference's row loop (cpu/src/lib.rs:80-354)."""
         n = len(self.operations)
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
         rows = np.zeros((n2, NUM_CPU_COLS), dtype=np.uint32)
+        if n == 0:
+            return rows
 
-        flag_of = {
-            "store": IS_STORE, "store_u8": IS_STORE_U8, "load": IS_LOAD,
-            "load_u8": IS_LOAD_U8, "load_s8": IS_LOAD_S8, "jal": IS_JAL,
-            "jalv": IS_JALV, "beq": IS_BEQ, "bne": IS_BNE, "imm32": IS_IMM32,
-            "advice": IS_ADVICE, "stop": IS_STOP, "loadfp": IS_LOADFP,
-            "bus": IS_BUS_OP, "bus_left_imm": IS_BUS_OP,
-            "bus_with_memory": IS_BUS_OP,
+        kind_code = {
+            "load": 0, "load_u8": 1, "load_s8": 2, "store": 3, "store_u8": 4,
+            "jal": 5, "jalv": 6, "beq": 7, "bne": 8, "imm32": 9, "advice": 10,
+            "stop": 11, "loadfp": 12, "bus": 13, "bus_left_imm": 14,
+            "bus_with_memory": 15,
         }
+        flag_col = np.array(
+            [IS_LOAD, IS_LOAD_U8, IS_LOAD_S8, IS_STORE, IS_STORE_U8, IS_JAL,
+             IS_JALV, IS_BEQ, IS_BNE, IS_IMM32, IS_ADVICE, IS_STOP, IS_LOADFP,
+             IS_BUS_OP, IS_BUS_OP, IS_BUS_OP], dtype=np.int64)
 
+        kinds = np.fromiter(
+            (kind_code[k] for k, _ in self.operations), dtype=np.int64, count=n
+        )
+        has_imm = np.fromiter(
+            (im is not None for _, im in self.operations), dtype=bool, count=n
+        )
+        imm = np.fromiter(
+            ((im if im is not None else 0) for _, im in self.operations),
+            dtype=np.uint32, count=n,
+        )
+        opcode = np.fromiter(
+            (iw.opcode for iw in self.instructions), dtype=np.uint32, count=n
+        )
+        operands = np.array(
+            [iw.operands.ops for iw in self.instructions], dtype=np.int64
+        )
+        regs = np.array(self.registers[:n], dtype=np.uint64)
+
+        clk_idx = np.arange(n)
+        rows[:n, CLK] = clk_idx.astype(np.uint32)
+        rows[:n, PC] = (regs[:, 0] % bb.P).astype(np.uint32)
+        rows[:n, FP] = (regs[:, 1] % bb.P).astype(np.uint32)
+        rows[:n, OPCODE] = opcode
+        for i in range(5):
+            rows[:n, OPERANDS[i]] = (operands[:, i] % bb.P).astype(np.uint32)
+        rows[clk_idx, flag_col[kinds]] = 1
+        with_mem = kinds == 15
+        rows[:n, IS_BUS_OP_WITH_MEM] = with_mem.astype(np.uint32)
+        rows[:n, CLK_OR_ZERO] = np.where(with_mem, clk_idx, 0).astype(np.uint32)
+        left_imm = (kinds == 14) & has_imm
+        right_imm = has_imm & ~left_imm
+        rows[:n, IS_LEFT_IMM_OP] = left_imm.astype(np.uint32)
+        rows[:n, IS_IMM_OP] = right_imm.astype(np.uint32)
+        rows[:, MC_IS_READ[0]] = 1
+        rows[:, MC_IS_READ[1]] = 1
+
+        # -- memory channel routing (cpu/src/lib.rs:244-283) ---------------
         mem = machine.mem()
-        for clk, (kind, imm) in enumerate(self.operations):
-            r = rows[clk]
-            r[CLK] = clk
-            r[PC], r[FP] = self.registers[clk]
-            iw = self.instructions[clk]
-            r[OPCODE] = iw.opcode % bb.P
-            ops_f = iw.operands.to_field()
-            for i in range(5):
-                r[OPERANDS[i]] = ops_f[i]
-            r[flag_of[kind]] = 1
-            if kind == "bus_with_memory":
-                r[IS_BUS_OP_WITH_MEM] = 1
-                r[CLK_OR_ZERO] = clk
-            left_imm = kind == "bus_left_imm"
+        mclk_l, mw_l, maddr_l, mval_l = [], [], [], []
+        for ck in sorted(mem.operations):
+            for op_kind, addr, value in mem.operations[ck]:
+                mclk_l.append(ck)
+                mw_l.append(op_kind == "w")
+                maddr_l.append(addr)
+                mval_l.append(value)
+        m = len(mclk_l)
+        if m:
+            mclk = np.array(mclk_l, dtype=np.int64)
+            mwrite = np.array(mw_l, dtype=bool)
+            maddr = np.array(maddr_l, dtype=np.int64)
+            mvalue = np.array(mval_l, dtype=np.uint32)
+            # rank of each read within its clk group (groups are contiguous)
+            group_start = np.searchsorted(mclk, mclk, side="left")
+            read_mask = ~mwrite
+            cum_excl = np.cumsum(read_mask) - read_mask
+            rank = cum_excl - cum_excl[group_start]
+            is_left = left_imm[mclk]
+            ch = np.where(mwrite, 2, np.where((rank == 0) & ~is_left, 0, 1))
+            for ch_id in range(3):
+                sel = ch == ch_id
+                tgt = mclk[sel]
+                rows[tgt, MC_USED[ch_id]] = 1
+                rows[tgt, MC_ADDR[ch_id]] = (maddr[sel] % bb.P).astype(np.uint32)
+                vals = mvalue[sel]
+                for i2 in range(4):
+                    rows[tgt, MC_VALUE[ch_id][i2]] = (
+                        (vals >> np.uint32(8 * (3 - i2))) & np.uint32(0xFF)
+                    )
 
-            # memory channels (cpu/src/lib.rs:244-283)
-            r[MC_IS_READ[0]] = 1
-            r[MC_IS_READ[1]] = 1
-            is_first_read = True
-            for op_kind, addr, value in mem.operations.get(clk, []):
-                if op_kind == "r":
-                    if is_first_read and not left_imm:
-                        ch = 0
-                        is_first_read = False
-                    else:
-                        ch = 1
-                    r[MC_USED[ch]] = 1
-                    r[MC_ADDR[ch]] = addr % bb.P
-                    for i, byte in enumerate(u32_to_bytes(value)):
-                        r[MC_VALUE[ch][i]] = byte
-                elif op_kind == "w":
-                    r[MC_USED[2]] = 1
-                    r[MC_ADDR[2]] = addr % bb.P
-                    for i, byte in enumerate(u32_to_bytes(value)):
-                        r[MC_VALUE[2][i]] = byte
+        # -- immediate overrides (cpu/src/lib.rs:359-381) ------------------
+        for sel, ch_id, op_col in ((left_imm, 0, OPERANDS[1]),
+                                   (right_imm, 1, OPERANDS[2])):
+            tgt = clk_idx[sel]
+            vals = imm[sel]
+            for i2 in range(4):
+                rows[tgt, MC_VALUE[ch_id][i2]] = (
+                    (vals >> np.uint32(8 * (3 - i2))) & np.uint32(0xFF)
+                )
+            rows[tgt, op_col] = (vals.astype(np.int64) % bb.P).astype(np.uint32)
 
-            # immediate overrides (cpu/src/lib.rs:359-381)
-            if imm is not None:
-                if left_imm:
-                    r[IS_LEFT_IMM_OP] = 1
-                    for i, byte in enumerate(u32_to_bytes(imm)):
-                        r[MC_VALUE[0][i]] = byte
-                    r[OPERANDS[1]] = imm % bb.P
-                else:
-                    r[IS_IMM_OP] = 1
-                    for i, byte in enumerate(u32_to_bytes(imm)):
-                        r[MC_VALUE[1][i]] = byte
-                    r[OPERANDS[2]] = imm % bb.P
-
-        # word-equality witness (cpu/src/lib.rs:285-315)
+        # -- word-equality witness (cpu/src/lib.rs:285-315) ----------------
         v1 = rows[:, [MC_VALUE[0][i] for i in range(4)]].astype(np.int64)
         v2 = rows[:, [MC_VALUE[1][i] for i in range(4)]].astype(np.int64)
         diff = (((v1 - v2) % bb.P) ** 2 % bb.P).sum(axis=1) % bb.P
-        rows[:, DIFF] = diff
-        inv = np.array([bb.h_inv(int(d)) if d else 0 for d in diff], dtype=np.uint32)
-        rows[:, DIFF_INV] = inv
+        rows[:, DIFF] = diff.astype(np.uint32)
+        rows[:, DIFF_INV] = np.asarray(
+            bb.from_monty(bb.inv(bb.to_monty(diff.astype(np.uint32))))
+        )
         rows[:, NOT_EQUAL] = (diff != 0).astype(np.uint32)
 
-        # STOP padding rows (cpu/src/lib.rs:317-354)
-        if n2 > n and n > 0:
-            last_pc, last_fp = rows[n - 1, PC], rows[n - 1, FP]
+        # -- STOP padding rows (cpu/src/lib.rs:317-354) --------------------
+        if n2 > n:
+            rows[n:, PC] = rows[n - 1, PC]
+            rows[n:, FP] = rows[n - 1, FP]
             last_clk = int(rows[n - 1, CLK])
-            for i, clk in enumerate(range(n, n2)):
-                r = rows[clk]
-                r[PC], r[FP] = last_pc, last_fp
-                r[CLK] = (last_clk + i + 1) % bb.P
-                r[IS_STOP] = 1
-                r[OPCODE] = OC.STOP
-                r[MC_IS_READ[0]] = 1
-                r[MC_IS_READ[1]] = 1
+            rows[n:, CLK] = (
+                (last_clk + 1 + np.arange(n2 - n)) % bb.P
+            ).astype(np.uint32)
+            rows[n:, IS_STOP] = 1
+            rows[n:, OPCODE] = OC.STOP
+            # padding rows have zero channel values -> diff = 0, and
+            # MC_IS_READ was pre-set for all rows above
         return rows
 
     # -- interactions (cpu/src/lib.rs:99-159) -------------------------------

@@ -82,38 +82,54 @@ class MemoryChip(Chip):
         return NUM_MEM_COLS
 
     def generate_trace(self, machine):
-        ops = []
-        for clk in sorted(self.operations):
-            for kind, addr, value in self.operations[clk]:
-                ops.append((clk, kind, addr, value))
-        # sort by (addr, clk), stable (memory/src/lib.rs:158)
-        ops.sort(key=lambda t: (t[2], t[0]))
-
+        """Vectorized: flatten the op log, lexsort by (addr, clk) —
+        memory/src/lib.rs:143-194 — and scatter columns."""
+        mclk_l, mw_l, maddr_l, mval_l = [], [], [], []
+        for ck in sorted(self.operations):
+            for kind, addr, value in self.operations[ck]:
+                mclk_l.append(ck)
+                mw_l.append(kind == "w")
+                maddr_l.append(addr)
+                mval_l.append(value)
+        n_ops = len(mclk_l)
         n_static = len(self.static_data)
-        n = n_static + len(ops)
+        n = n_static + n_ops
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
         rows = np.zeros((n2, NUM_MEM_COLS), dtype=np.uint32)
+        rows[:n, COUNTER] = np.arange(n, dtype=np.uint32)
 
-        for i, (addr, value) in enumerate(sorted(self.static_data.items())):
-            r = rows[i]
-            r[IS_STATIC_INITIAL] = 1
-            r[COUNTER] = i
-            r[ADDR] = addr % bb.P
-            for k, byte in enumerate(u32_to_bytes(value)):
-                r[VALUE[k]] = byte
-            r[IS_WRITE] = 1
+        if n_static:
+            saddrs = np.fromiter(sorted(self.static_data), dtype=np.int64,
+                                 count=n_static)
+            svals = np.fromiter(
+                (self.static_data[a] for a in sorted(self.static_data)),
+                dtype=np.uint32, count=n_static,
+            )
+            rows[:n_static, IS_STATIC_INITIAL] = 1
+            rows[:n_static, IS_WRITE] = 1
+            rows[:n_static, ADDR] = (saddrs % bb.P).astype(np.uint32)
+            for k in range(4):
+                rows[:n_static, VALUE[k]] = (
+                    (svals >> np.uint32(8 * (3 - k))) & np.uint32(0xFF)
+                )
 
-        for i, (clk, kind, addr, value) in enumerate(ops):
-            r = rows[n_static + i]
-            r[CLK] = clk % bb.P
-            r[COUNTER] = n_static + i
-            r[ADDR] = addr % bb.P
-            for k, byte in enumerate(u32_to_bytes(value)):
-                r[VALUE[k]] = byte
-            if kind == "r":
-                r[IS_READ] = 1
-            else:
-                r[IS_WRITE] = 1
+        if n_ops:
+            mclk = np.array(mclk_l, dtype=np.int64)
+            mwrite = np.array(mw_l, dtype=bool)
+            maddr = np.array(maddr_l, dtype=np.int64)
+            mvalue = np.array(mval_l, dtype=np.uint32)
+            order = np.lexsort((mclk, maddr))  # stable (addr, clk)
+            mclk, mwrite = mclk[order], mwrite[order]
+            maddr, mvalue = maddr[order], mvalue[order]
+            sl = slice(n_static, n)
+            rows[sl, CLK] = (mclk % bb.P).astype(np.uint32)
+            rows[sl, ADDR] = (maddr % bb.P).astype(np.uint32)
+            for k in range(4):
+                rows[sl, VALUE[k]] = (
+                    (mvalue >> np.uint32(8 * (3 - k))) & np.uint32(0xFF)
+                )
+            rows[sl, IS_READ] = (~mwrite).astype(np.uint32)
+            rows[sl, IS_WRITE] = mwrite.astype(np.uint32)
         return rows
 
     # -- interactions (memory/src/lib.rs:215-236) ---------------------------

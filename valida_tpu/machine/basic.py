@@ -165,6 +165,19 @@ class BasicMachine(Machine):
         self._program.read_word(pc)
         return DID_STOP if iw.opcode == OC.STOP else DID_NOT_STOP
 
+    def run_native(self, advice_bytes: bytes = b""):
+        """Execute with the C++ interpreter core (falls back to python)."""
+        from ..native import available, run_native
+
+        if not available():
+            from ..core.advice import FixedAdviceProvider
+
+            return self.run(advice=FixedAdviceProvider(advice_bytes))
+        self._advice_bytes = advice_bytes
+        if not self.cpu().registers:
+            self.cpu().registers.append((self.cpu().pc, self.cpu().fp))
+        run_native(self)
+
     def run(self, program: ProgramROM | None = None,
             advice: AdviceProvider | None = None):
         if program is not None and len(self._program.program_rom) == 0:
