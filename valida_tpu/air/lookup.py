@@ -41,19 +41,17 @@ def rlc_alphas(chip, machine, challenges):
     return local, glob
 
 
-def _interaction_rlc_device(interaction, betas_host, alpha_host, prep_m, main_m):
+def _interaction_rlc_device(interaction, betas_m, alpha_m, prep_m, main_m):
     """RLC over all rows: [N, 5] ext monty.
 
-    prep_m / main_m: Montgomery column-indexable arrays [N, C] (or None).
+    betas_m: list of [5] monty arrays; alpha_m: [5] monty array.
     """
     xp = xp_of(main_m)
     n = main_m.shape[0]
     acc = xp.zeros((n, 5), dtype=np.uint32)
     for j, field in enumerate(interaction.fields):
         fvals = _apply_vpcol_device(field, prep_m, main_m)  # [N] base monty
-        beta_j = bb.to_monty(np.array(betas_host[j], dtype=np.uint32))  # [5]
-        acc = bb.add(acc, bb.mul(fvals[:, None], beta_j[None, :]))
-    alpha_m = bb.to_monty(np.array(alpha_host, dtype=np.uint32))
+        acc = bb.add(acc, bb.mul(fvals[:, None], betas_m[j][None, :]))
     return bb.add(acc, alpha_m[None, :])
 
 
@@ -70,14 +68,31 @@ def _apply_vpcol_device(vp, prep_m, main_m):
     return acc
 
 
+def _ext_powers_arr(ch_m, count, skip_first=False):
+    """Powers of a [5] monty ext array: [ch^1..] if skip_first else [1, ch..]."""
+    out = []
+    acc = ch_m
+    if not skip_first:
+        one = np.zeros(5, dtype=np.uint32)
+        one[0] = bb.ONE
+        xp = xp_of(ch_m)
+        out.append(xp.asarray(one))
+        count -= 1
+    for _ in range(count):
+        out.append(acc)
+        acc = extf.ext_mul(acc, ch_m)
+    return out
+
+
 def generate_permutation_trace(machine, chip, main_trace, challenges):
-    """main_trace: canonical uint32 [N, C] (device or numpy).
+    """main_trace: canonical uint32 [N, C] (device or numpy); challenges:
+    3 ext values — host tuples or a [3, 5] canonical array (array form is
+    jit-traceable, so compiled permutation stages are challenge-independent).
 
     Returns perm trace as ext matrix [N, n_interactions + 1, 5] Montgomery,
     where the last ext column is the running sum phi.
     """
     interactions = chip.all_interactions(machine)
-    alphas_local, alphas_global = rlc_alphas(chip, machine, challenges)
     n = int(main_trace.shape[0])
     main_m = bb.to_monty(asarray(main_trace))
     prep = chip.preprocessed_trace()
@@ -89,7 +104,14 @@ def generate_permutation_trace(machine, chip, main_trace, challenges):
             prep = np.concatenate([prep, pad], axis=0)
         prep_m = bb.to_monty(asarray(prep[:n]))
 
-    betas = extf.e_powers(challenges[2], max((len(i.fields) for i in interactions), default=1))
+    if isinstance(challenges, (list, tuple)):
+        challenges = asarray(np.array(challenges, dtype=np.uint32))
+    ch_m = bb.to_monty(challenges)
+    n_local, n_global = _alpha_counts(chip, machine)
+    alphas_local = _ext_powers_arr(ch_m[0], n_local, skip_first=True)
+    alphas_global = _ext_powers_arr(ch_m[1], n_global, skip_first=True)
+    max_fields = max((len(i.fields) for i in interactions), default=1)
+    betas = _ext_powers_arr(ch_m[2], max_fields)
 
     cols = []
     for inter in interactions:
@@ -213,10 +235,12 @@ def _cum_sum_expr(builder, cs):
     if isinstance(builder.perm_challenges[0], SymExpr):
         return SymExpr(0)
     if isinstance(builder.perm_challenges[0], SVal):
-        return SVal(cs)
+        return SVal(tuple(cs))
+    if isinstance(cs, tuple):
+        cs = np.array(cs, dtype=np.uint32)
     sample = builder.perm_challenges[0].arr
     xp = xp_of(sample)
-    arr = bb.to_monty(xp.asarray(np.array(cs, dtype=np.uint32)))
+    arr = bb.to_monty(xp.asarray(cs))
     return VVal(arr, True)
 
 

@@ -80,9 +80,9 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
     )
 
     def ext_const(e):
-        return VVal(
-            bb.to_monty(xp.asarray(np.array(e, dtype=np.uint32))), True
-        )
+        if isinstance(e, tuple):
+            e = np.array(e, dtype=np.uint32)
+        return VVal(bb.to_monty(xp.asarray(e)), True)
 
     builder = VectorBuilder(
         machine,
@@ -92,7 +92,7 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
         prep_next=prep_next,
         perm_local=perm_local,
         perm_next=perm_next,
-        perm_challenges=[ext_const(c) for c in perm_challenges],
+        perm_challenges=[ext_const(perm_challenges[i]) for i in range(3)],
         is_first_row=is_first,
         is_last_row=is_last,
         is_transition=is_transition,

@@ -33,6 +33,8 @@ def get_backend() -> str:
 
 
 def asarray(x, dtype=None):
+    if isinstance(x, jax.Array):  # incl. tracers — never pull to host
+        return x if dtype is None else x.astype(dtype)
     if _BACKEND == "jax":
         return jnp.asarray(x, dtype=dtype)
     return np.asarray(x, dtype=dtype)

@@ -1,0 +1,591 @@
+"""Device-resident jitted prover.
+
+Same transcript and proof format as machine/prover.py, but every bulk stage
+is one compiled XLA call and all large arrays stay on the device:
+
+  stage_commit    traces -> coeffs/LDEs/bitrev rows + full Merkle levels + root
+  stage_perm      main traces + challenges -> perm traces (flat) + cum sums
+  stage_quotient  LDEs + challenges + alpha -> quotient chunk matrices
+  stage_openings  coeffs + zeta -> opened values at {zeta, zeta*g, zeta^2^qd}
+  stage_reduced   LDEs + alpha + opened values -> per-height reduced openings
+  FRI             per-layer jitted commit + fold; device PoW grind
+  query opens     one batched gather per tree (40 indices at once)
+
+Only Merkle roots, opened values, and query openings are ever transferred
+to the host — the Fiat–Shamir challenger consumes roots (32 B) between
+stages.  Compiled stages are keyed by trace shapes, and challenges enter as
+traced arrays, so proving a second execution of the same program reuses
+every compiled stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+from ..field import ext as extf
+from ..poly import ntt as nttm
+from ..poly.ntt import bitrev_indices
+from ..crypto.keccak import keccak256_words
+from ..air.quotient import (
+    get_log_quotient_degree, quotient_values, decompose_and_flatten,
+)
+from ..air.lookup import generate_permutation_trace
+from ..commit import fri as frim
+from ..commit.pcs import PcsProof, PcsQueryProof, BatchOpening
+from ..core.proof import MachineProof, Commitments, ChipProof, OpenedValues
+
+
+# ---------------------------------------------------------------------------
+# device merkle forest (mixed heights, like crypto/merkle.MerkleTree)
+# ---------------------------------------------------------------------------
+
+
+def _build_levels(mats):
+    """mats: list of canonical [h, w] arrays -> (root [8], levels dict)."""
+    by_level = {}
+    for m in mats:
+        k = int(m.shape[0]).bit_length() - 1
+        by_level.setdefault(k, []).append(m)
+    log_max = max(by_level)
+    levels = {}
+    d = keccak256_words(jnp.concatenate(by_level[log_max], axis=1))
+    levels[log_max] = d
+    k = log_max
+    while k > 0:
+        k -= 1
+        d = keccak256_words(jnp.concatenate([d[0::2], d[1::2]], axis=1))
+        if k in by_level:
+            inj = keccak256_words(jnp.concatenate(by_level[k], axis=1))
+            d = keccak256_words(jnp.concatenate([d, inj], axis=1))
+        levels[k] = d
+    return levels[0][0], levels
+
+
+class DeviceTree:
+    """Device-resident Merkle tree over committed matrices with batched
+    query opening (one gather per level, one host fetch per tree)."""
+
+    def __init__(self, mats, root, levels):
+        self.mats = mats  # device canonical [h, w]
+        self.root = np.asarray(root)
+        self.levels = levels
+        self.log_max = max(levels)
+
+    def open_batch(self, indices: np.ndarray):
+        """indices: [q] leaf indices -> (rows per mat: list of np [q, w],
+        paths: np [q, log_max, 8])."""
+        idx = jnp.asarray(indices.astype(np.int32))
+        rows = []
+        for m in self.mats:
+            h = int(m.shape[0]).bit_length() - 1
+            rows.append(m[idx >> (self.log_max - h)])
+        sibs = []
+        cur = idx
+        for k in range(self.log_max, 0, -1):
+            sibs.append(self.levels[k][cur ^ 1])
+            cur = cur >> 1
+        paths = jnp.stack(sibs, axis=1) if sibs else jnp.zeros(
+            (len(indices), 0, 8), dtype=jnp.uint32
+        )
+        return [np.asarray(r) for r in rows], np.asarray(paths)
+
+
+# ---------------------------------------------------------------------------
+# jitted stage factories (cached per static signature)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _keccak_jit(shape):
+    return jax.jit(keccak256_words)
+
+
+def _hash_level(mats):
+    cat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+    return _keccak_jit(tuple(int(x) for x in cat.shape))(cat)
+
+
+def _build_levels_jit(mats):
+    """Like _build_levels, but per-level jitted keccak calls (small
+    compiles, shared across trees of the same shapes)."""
+    by_level = {}
+    for m in mats:
+        k = int(m.shape[0]).bit_length() - 1
+        by_level.setdefault(k, []).append(m)
+    log_max = max(by_level)
+    levels = {}
+    d = _hash_level(by_level[log_max])
+    levels[log_max] = d
+    k = log_max
+    while k > 0:
+        k -= 1
+        d = _hash_level([d[0::2], d[1::2]])
+        if k in by_level:
+            inj = _hash_level(by_level[k])
+            d = _hash_level([d, inj])
+        levels[k] = d
+    return np.asarray(levels[0][0]), levels
+
+
+@functools.lru_cache(maxsize=None)
+def _lde_stage(shape, dshift, log_blowup, shift):
+    def stage(mat):
+        m = bb.to_monty(mat)
+        coeffs = nttm.intt(m) if dshift == 1 else nttm.coset_intt(m, dshift)
+        padded = jnp.concatenate(
+            [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << log_blowup) - 1),
+            axis=0,
+        )
+        lde = nttm.coset_eval_from_coeffs(padded, shift)
+        log_h = int(mat.shape[0]).bit_length() - 1
+        committed = bb.from_monty(lde[bitrev_indices(log_h + log_blowup)])
+        return coeffs, lde, committed
+
+    return jax.jit(stage)
+
+
+def _ext_powers_dyn(z, n: int):
+    """[n, 5] monty powers of a [5] monty ext value (traced)."""
+    one = np.zeros((1, 5), dtype=np.uint32)
+    one[0, 0] = bb.ONE
+    arr = jnp.asarray(one)
+    cur = z[None, :]
+    length = 1
+    while length < n:
+        nxt = extf.ext_mul(arr, jnp.broadcast_to(cur, arr.shape))
+        arr = jnp.concatenate([arr, nxt], axis=0)
+        cur = extf.ext_mul(cur, cur)
+        length *= 2
+    return arr[:n]
+
+
+def _points_for(zeta_m, kind):
+    tag, param = kind
+    if tag == "pair":
+        g = bb.monty_scalar(bb.two_adic_generator(param))
+        return [zeta_m, extf.ext_mul_base(zeta_m[None, :], np.uint32(g))[0]]
+    zq = zeta_m
+    for _ in range(param):
+        zq = extf.ext_mul(zq, zq)
+    return [zq]
+
+
+@functools.lru_cache(maxsize=None)
+def _openings_stage(shape, kind):
+    """kind: ('pair', log_h) -> open at {z, z*g_h}; ('pow', qd) -> z^2^qd."""
+
+    def stage(coeffs, zeta_m):
+        h = int(coeffs.shape[0])
+        mat_vals = []
+        for z in _points_for(zeta_m, kind):
+            zp = _ext_powers_dyn(z, h)
+            mat_vals.append(nttm.eval_at_ext_point(coeffs, zp))
+        return tuple(mat_vals)
+
+    return jax.jit(stage)
+
+
+@functools.lru_cache(maxsize=None)
+def _reduced_stage(shape, kind, log_lde, total_w, off, shift):
+    """One matrix's contribution to its height's reduced opening."""
+    w = shape[1]
+
+    def stage(lde, vals, zeta_m, alpha_m):
+        apows = _ext_powers_dyn(alpha_m, off + w)[off:]
+        lde_rev = lde[bitrev_indices(log_lde)]
+        combined_l = []
+        for d in range(5):
+            prod = bb.mul(lde_rev, apows[None, :, d])
+            combined_l.append(nttm._mod_sum(prod, axis=1))
+        combined = jnp.stack(combined_l, axis=-1)
+        xs = jnp.asarray(_coset_points_bitrev_cached(log_lde, shift))
+        acc = None
+        for z, y in zip(_points_for(zeta_m, kind), vals):
+            comb_y = nttm._mod_sum(extf.ext_mul(apows, y), axis=0)
+            num = bb.sub(combined, comb_y[None, :])
+            denom = bb.sub(extf.ext_from_base(xs), z[None, :])
+            quot = extf.ext_mul(num, extf.ext_inv(denom))
+            acc = quot if acc is None else bb.add(acc, quot)
+        return acc
+
+    return jax.jit(stage)
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_points_bitrev_cached(log_n, shift):
+    from ..commit.pcs import _coset_points_bitrev
+
+    return _coset_points_bitrev(log_n, shift)
+
+
+@functools.lru_cache(maxsize=None)
+def _fri_pair_mat(log_m):
+    def stage(current):
+        m = current.shape[0]
+        return bb.from_monty(current).reshape(m // 2, 10)
+
+    return jax.jit(stage)
+
+
+@functools.lru_cache(maxsize=None)
+def _fri_fold(log_m, shift_layer):
+    x0inv = frim._x0_inv_table(log_m, shift_layer)
+
+    def stage(current, beta_m):
+        return frim.fold_device(current, beta_m, jnp.asarray(x0inv))
+
+    return jax.jit(stage)
+
+
+_PERM_STAGE_CACHE = {}
+_QUOTIENT_STAGE_CACHE = {}
+
+
+def _perm_stage(machine, chip, log_degree, width):
+    key = (type(machine).__name__, chip.name, log_degree, width)
+    fn = _PERM_STAGE_CACHE.get(key)
+    if fn is None:
+        def stage(main_trace, ch_arr):
+            t = generate_permutation_trace(machine, chip, main_trace, ch_arr)
+            flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
+            return t, flat, t[-1, -1]
+
+        fn = jax.jit(stage)
+        _PERM_STAGE_CACHE[key] = fn
+    return fn
+
+
+def _decompose_device(q_vals, pcs_shift, qd):
+    """Device decompose_and_flatten (air/quotient.py) without host pulls."""
+    coeffs = nttm.coset_intt(q_vals, pcs_shift)
+    shift_chunk = bb.h_exp(pcs_shift, 1 << qd)
+    rev = bitrev_indices(qd) if qd > 0 else np.array([0])
+    chunks = []
+    for i in np.asarray(rev):
+        evals = nttm.coset_eval_from_coeffs(coeffs[int(i) :: 1 << qd], shift_chunk)
+        chunks.append(bb.from_monty(evals))
+    n = q_vals.shape[0] >> qd
+    return jnp.concatenate(chunks, axis=1).reshape(n, (1 << qd) * 5)
+
+
+def _quotient_stage(machine, chip, log_degree, qd, shapes, shift, log_blowup):
+    key = (type(machine).__name__, chip.name, log_degree, qd, shapes)
+    fn = _QUOTIENT_STAGE_CACHE.get(key)
+    if fn is None:
+        def stage(prep_lde, main_lde, perm_lde, ch_arr, alpha_arr, cum_canon):
+            qv = quotient_values(
+                machine, chip, log_degree, qd, prep_lde, main_lde, perm_lde,
+                cum_canon, ch_arr, alpha_arr, shift, log_blowup,
+            )
+            return _decompose_device(qv, shift, qd)
+
+        fn = jax.jit(stage)
+        _QUOTIENT_STAGE_CACHE[key] = fn
+    return fn
+
+
+def _to_ext_tuples(arr):
+    """[w, 5] canonical np array -> list of ext tuples."""
+    a = np.asarray(arr)
+    return [tuple(int(x) for x in row) for row in a]
+
+
+# ---------------------------------------------------------------------------
+# the prover
+# ---------------------------------------------------------------------------
+
+
+def prove_jit(machine, config) -> MachineProof:
+    chips = machine.chips()
+    pcs = config.pcs
+    fri_config = pcs.config
+    shift = pcs.coset_shift()
+    log_blowup = pcs.log_blowup
+    challenger = config.challenger()
+
+    qds = [get_log_quotient_degree(machine, c) for c in chips]
+
+    # -- traces -------------------------------------------------------------
+    prep_traces = [c.preprocessed_trace() for c in chips]
+    prep_indices = {}
+    prep_list = []
+    for ci, p in enumerate(prep_traces):
+        if p is not None:
+            prep_indices[ci] = len(prep_list)
+            prep_list.append(jnp.asarray(np.asarray(p, dtype=np.uint32)))
+    main_traces = [
+        jnp.asarray(np.asarray(c.generate_trace(machine), dtype=np.uint32))
+        for c in chips
+    ]
+    log_degrees = [int(t.shape[0]).bit_length() - 1 for t in main_traces]
+    g_subgroups = [bb.two_adic_generator(ld) for ld in log_degrees]
+
+    def commit(mats, dshifts=None):
+        dshifts = dshifts or [1] * len(mats)
+        coeffs, ldes, committed = [], [], []
+        for mat, dshift in zip(mats, dshifts):
+            fn = _lde_stage(tuple(int(x) for x in mat.shape), dshift,
+                            log_blowup, shift)
+            c, l, cm = fn(mat)
+            coeffs.append(c)
+            ldes.append(l)
+            committed.append(cm)
+        root, levels = _build_levels_jit(committed)
+        tree = DeviceTree(committed, root, levels)
+        return tree, coeffs, ldes
+
+    # -- transcript ---------------------------------------------------------
+    if prep_list:
+        prep_tree, prep_coeffs, prep_ldes = commit(prep_list)
+        prep_root = prep_tree.root
+    else:
+        prep_tree, prep_coeffs, prep_ldes = None, [], []
+        prep_root = np.zeros(8, dtype=np.uint32)
+    challenger.observe_digest(prep_root)
+
+    main_tree, main_coeffs, main_ldes = commit(main_traces)
+    challenger.observe_digest(main_tree.root)
+
+    perm_challenges = [challenger.sample_ext() for _ in range(3)]
+    ch_arr = jnp.asarray(np.array(perm_challenges, dtype=np.uint32))
+
+    perm_traces = []
+    perm_flat = []
+    cumulative_sums_dev = []
+    for c, t in zip(chips, main_traces):
+        fn = _perm_stage(machine, c, int(t.shape[0]).bit_length() - 1,
+                         int(t.shape[1]))
+        pt, flat, cs = fn(t, ch_arr)
+        perm_traces.append(pt)
+        perm_flat.append(flat)
+        cumulative_sums_dev.append(cs)
+    perm_tree, perm_coeffs, perm_ldes = commit(perm_flat)
+    challenger.observe_digest(perm_tree.root)
+    cumulative_sums = [
+        tuple(int(x) for x in np.asarray(bb.from_monty(cs)))
+        for cs in cumulative_sums_dev
+    ]
+
+    alpha = challenger.sample_ext()
+    alpha_arr = jnp.asarray(np.array(alpha, dtype=np.uint32))
+
+    if config.debug_checks:
+        from ..air.check import check_constraints, check_cumulative_sums
+
+        for c, t, pt, cs in zip(chips, main_traces, perm_traces, cumulative_sums):
+            check_constraints(machine, c, np.asarray(t), np.asarray(pt),
+                              perm_challenges, cs)
+        check_cumulative_sums(cumulative_sums)
+
+    # -- quotient -----------------------------------------------------------
+    quotient_mats = []
+    coset_shifts = []
+    for ci, chip in enumerate(chips):
+        prep_lde = prep_ldes[prep_indices[ci]] if ci in prep_indices else None
+        shapes_q = (
+            tuple(int(x) for x in main_ldes[ci].shape),
+            tuple(int(x) for x in perm_ldes[ci].shape),
+            tuple(int(x) for x in prep_lde.shape) if prep_lde is not None else None,
+        )
+        fn = _quotient_stage(machine, chip, log_degrees[ci], qds[ci],
+                             shapes_q, shift, log_blowup)
+        qmat = fn(prep_lde, main_ldes[ci], perm_ldes[ci], ch_arr, alpha_arr,
+                  bb.from_monty(cumulative_sums_dev[ci]))
+        quotient_mats.append(qmat)
+        coset_shifts.append(bb.h_exp(shift, 1 << qds[ci]))
+    quotient_tree, quotient_coeffs, quotient_ldes = commit(
+        quotient_mats, coset_shifts
+    )
+    challenger.observe_digest(quotient_tree.root)
+
+    # -- openings -----------------------------------------------------------
+    zeta = challenger.sample_ext()
+    zeta_m = bb.to_monty(jnp.asarray(np.array(zeta, dtype=np.uint32)))
+
+    rounds_meta = []  # (tree, coeffs, ldes, point_kinds)
+    if prep_tree is not None:
+        kinds = tuple(
+            ("pair", log_degrees[ci]) for ci in sorted(prep_indices)
+        )
+        rounds_meta.append((prep_tree, prep_coeffs, prep_ldes, kinds))
+    rounds_meta.append(
+        (main_tree, main_coeffs, main_ldes,
+         tuple(("pair", ld) for ld in log_degrees))
+    )
+    rounds_meta.append(
+        (perm_tree, perm_coeffs, perm_ldes,
+         tuple(("pair", ld) for ld in log_degrees))
+    )
+    rounds_meta.append(
+        (quotient_tree, quotient_coeffs, quotient_ldes,
+         tuple(("pow", qd) for qd in qds))
+    )
+
+    all_coeffs = []
+    all_ldes = []
+    all_kinds = []
+    for _tree, coeffs, ldes, kinds in rounds_meta:
+        all_coeffs += coeffs
+        all_ldes += ldes
+        all_kinds += list(kinds)
+    opened_dev = [
+        _openings_stage(tuple(int(x) for x in c.shape), kind)(c, zeta_m)
+        for c, kind in zip(all_coeffs, all_kinds)
+    ]
+    # observe opened values (canonical, host)
+    opened_host = [
+        [_to_ext_tuples(bb.from_monty(v)) for v in mat_vals]
+        for mat_vals in opened_dev
+    ]
+    for mat_vals in opened_host:
+        for point_vals in mat_vals:
+            for val in point_vals:
+                challenger.observe_ext(val)
+    alpha_fri = challenger.sample_ext()
+    alpha_fri_m = bb.to_monty(jnp.asarray(np.array(alpha_fri, dtype=np.uint32)))
+
+    reduced = {}
+    off = 0
+    total_w = sum(int(c.shape[1]) for c in all_coeffs)
+    for coeffs, lde, vals, kind in zip(all_coeffs, all_ldes, opened_dev, all_kinds):
+        shape = tuple(int(x) for x in coeffs.shape)
+        log_lde = int(lde.shape[0]).bit_length() - 1
+        contrib = _reduced_stage(shape, kind, log_lde, total_w, off, shift)(
+            lde, vals, zeta_m, alpha_fri_m
+        )
+        if log_lde in reduced:
+            reduced[log_lde] = bb.add(reduced[log_lde], contrib)
+        else:
+            reduced[log_lde] = contrib
+        off += shape[1]
+
+    # -- FRI ----------------------------------------------------------------
+    log_max = max(reduced)
+    log_min = fri_config.log_blowup
+    current = reduced[log_max]
+    commits = []
+    layer_trees = []
+    layer = 0
+    for log_m in range(log_max, log_min, -1):
+        pair_mat = _fri_pair_mat(log_m)(current)
+        root, levels = _build_levels_jit([pair_mat])
+        tree = DeviceTree([pair_mat], root, levels)
+        layer_trees.append(tree)
+        commits.append(tree.root)
+        challenger.observe_digest(tree.root)
+        beta = challenger.sample_ext()
+        beta_m = bb.to_monty(jnp.asarray(np.array(beta, dtype=np.uint32)))
+        current = _fri_fold(log_m, frim.layer_shift(shift, layer))(
+            current, beta_m
+        )
+        layer += 1
+        nxt = log_m - 1
+        if nxt in reduced:
+            current = bb.add(current, reduced[nxt])
+
+    final_vals = np.asarray(bb.from_monty(current))
+    final_poly = tuple(int(v) for v in final_vals[0])
+    challenger.observe_ext(final_poly)
+    pow_witness = frim.grind_device(challenger, fri_config.proof_of_work_bits)
+    query_indices = [
+        challenger.sample_bits(log_max)
+        for _ in range(fri_config.num_queries)
+    ]
+    qidx = np.array(query_indices, dtype=np.int64)
+
+    # -- query openings (batched per tree) ----------------------------------
+    fri_queries = []
+    layer_rows = []
+    layer_paths = []
+    cur_idx = qidx.copy()
+    for tree in layer_trees:
+        rows, paths = tree.open_batch(cur_idx >> 1)
+        layer_rows.append(rows[0])
+        layer_paths.append(paths)
+        cur_idx >>= 1
+    for qi in range(len(query_indices)):
+        fri_queries.append(
+            frim.FriQueryProof(
+                commit_phase_openings=[
+                    frim.CommitPhaseOpening(
+                        pair_row=layer_rows[li][qi],
+                        path=list(layer_paths[li][qi]),
+                    )
+                    for li in range(len(layer_trees))
+                ]
+            )
+        )
+    fri_proof = frim.FriProof(
+        commit_phase_commits=commits,
+        final_poly=final_poly,
+        pow_witness=pow_witness,
+        query_proofs=fri_queries,
+    )
+
+    pcs_queries = []
+    round_opens = []
+    for tree, _c, _l, _k in rounds_meta:
+        tree_idx = qidx >> (log_max - tree.log_max)
+        rows, paths = tree.open_batch(tree_idx)
+        round_opens.append((rows, paths))
+    for qi in range(len(query_indices)):
+        input_openings = []
+        for rows, paths in round_opens:
+            input_openings.append(
+                BatchOpening(
+                    opened_rows=[r[qi] for r in rows],
+                    path=list(paths[qi]),
+                )
+            )
+        pcs_queries.append(
+            PcsQueryProof(
+                input_openings=input_openings, fri_query=fri_queries[qi]
+            )
+        )
+    opening_proof = PcsProof(fri=fri_proof, query_proofs=pcs_queries)
+
+    # -- assemble opened values per chip ------------------------------------
+    n_prep = len(prep_list)
+    prep_vals = opened_host[:n_prep]
+    main_vals = opened_host[n_prep : n_prep + len(chips)]
+    perm_vals = opened_host[n_prep + len(chips) : n_prep + 2 * len(chips)]
+    quot_vals = opened_host[n_prep + 2 * len(chips) :]
+
+    chip_proofs = []
+    for ci, chip in enumerate(chips):
+        if ci in prep_indices:
+            pv = prep_vals[prep_indices[ci]]
+            prep_local, prep_next = pv[0], pv[1]
+        else:
+            prep_local, prep_next = [], []
+        chip_proofs.append(
+            ChipProof(
+                log_degree=log_degrees[ci],
+                opened_values=OpenedValues(
+                    preprocessed_local=prep_local,
+                    preprocessed_next=prep_next,
+                    trace_local=main_vals[ci][0],
+                    trace_next=main_vals[ci][1],
+                    permutation_local=perm_vals[ci][0],
+                    permutation_next=perm_vals[ci][1],
+                    quotient_chunks=quot_vals[ci][0],
+                ),
+                cumulative_sum=cumulative_sums[ci],
+            )
+        )
+
+    return MachineProof(
+        commitments=Commitments(
+            preprocessed=prep_root,
+            main_trace=main_tree.root,
+            perm_trace=perm_tree.root,
+            quotient_chunks=quotient_tree.root,
+        ),
+        opening_proof=opening_proof,
+        chip_proofs=chip_proofs,
+    )
