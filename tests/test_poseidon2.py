@@ -1,0 +1,59 @@
+"""Poseidon2 hasher: permutation sanity + full machine proof with the
+poseidon2 MMCS."""
+
+import numpy as np
+
+from valida_tpu.field import babybear as bb
+from valida_tpu.crypto import poseidon2 as p2
+from valida_tpu.crypto.merkle import MerkleTree, verify_opening
+from valida_tpu.core.config import default_config
+
+
+def test_poseidon2_permutation_sanity():
+    a = np.zeros((1, 16), dtype=np.uint32)
+    b = np.zeros((1, 16), dtype=np.uint32)
+    b[0, 0] = 1
+    am = bb.to_monty(a)
+    bm = bb.to_monty(b)
+    pa = np.asarray(bb.from_monty(p2.permute(am)))
+    pb = np.asarray(bb.from_monty(p2.permute(bm)))
+    assert not np.array_equal(pa, pb)
+    assert np.all(pa < bb.P) and np.all(pb < bb.P)
+    # deterministic
+    pa2 = np.asarray(bb.from_monty(p2.permute(bb.to_monty(a))))
+    np.testing.assert_array_equal(pa, pa2)
+
+
+def test_poseidon2_hash_batch_matches_host():
+    rng = np.random.default_rng(5)
+    msgs = rng.integers(0, bb.P, size=(4, 20), dtype=np.uint32)
+    batch = np.asarray(p2.hash_words(msgs))
+    for i in range(4):
+        host = np.asarray(p2.hash_words_host(msgs[i]))
+        np.testing.assert_array_equal(batch[i], host)
+
+
+def test_merkle_poseidon2_roundtrip():
+    rng = np.random.default_rng(6)
+    mats = [
+        rng.integers(0, bb.P, size=(8, 3), dtype=np.uint32),
+        rng.integers(0, bb.P, size=(4, 2), dtype=np.uint32),
+    ]
+    tree = MerkleTree(mats, hasher="poseidon2")
+    dims = [(m.shape[0], m.shape[1]) for m in mats]
+    for idx in [0, 5]:
+        rows, path = tree.open(idx)
+        assert verify_opening(tree.root(), dims, idx, rows, path,
+                              hasher="poseidon2")
+        assert not verify_opening(tree.root(), dims, idx, rows, path,
+                                  hasher="keccak")
+
+
+def test_prove_with_poseidon2_mmcs():
+    from tests.test_machine_minimal import MiniMachine
+
+    m = MiniMachine([(1, 2), (3, 4), (7, 7)])
+    config = default_config(num_queries=4, proof_of_work_bits=2,
+                            hasher="poseidon2")
+    proof = m.prove(config)
+    m.verify(config, proof)

@@ -297,11 +297,45 @@ class VectorBuilder(BaseBuilder):
         if self.mode == "debug":
             self.collected.append(e)
             return
-        c = VVal(e._as_ext(), True)
-        if self.accumulator is None:
-            self.accumulator = c
-        else:
-            self.accumulator = self.accumulator * self.alpha + c
+        # collect; fold() combines with alpha powers at the end — the
+        # power-weighted sum equals Horner's acc = acc*alpha + c but has a
+        # log-depth graph instead of a length-K sequential chain
+        self.collected.append(e)
+
+    def fold(self):
+        """sum_i c_i * alpha^(K-1-i) over collected constraints (ext)."""
+        k = len(self.collected)
+        if k == 0:
+            self.accumulator = None
+            return None
+        # alpha powers [k, 5] via log-depth doubling
+        a = self.alpha._as_ext()
+        xp = xp_of(a)
+        one = np.zeros((1, 5), dtype=np.uint32)
+        one[0, 0] = bb.monty_scalar(1)
+        arr = xp.asarray(one)
+        cur = a[None, :] if a.ndim == 1 else a
+        length = 1
+        while length < k:
+            arr = xp.concatenate(
+                [arr, extf.ext_mul(arr, xp.broadcast_to(cur, arr.shape))],
+                axis=0,
+            )
+            cur = extf.ext_mul(cur, cur)
+            length *= 2
+        terms = [
+            VVal(self.collected[i]._as_ext(), True) * VVal(arr[k - 1 - i], True)
+            for i in range(k)
+        ]
+        while len(terms) > 1:
+            nxt = []
+            for j in range(0, len(terms) - 1, 2):
+                nxt.append(terms[j] + terms[j + 1])
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        self.accumulator = VVal(terms[0]._as_ext(), True)
+        return self.accumulator
 
 
 class ScalarBuilder(BaseBuilder):

@@ -102,6 +102,7 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
     )
     chip.eval(builder)
     eval_permutation_constraints(chip, builder, cumulative_sum)
+    builder.fold()
 
     acc = builder.accumulator
     if acc is None:

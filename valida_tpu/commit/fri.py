@@ -41,6 +41,7 @@ class FriConfig:
     log_blowup: int = 1
     num_queries: int = 40
     proof_of_work_bits: int = 8
+    hasher: str = "keccak"  # "keccak" | "poseidon2" (Merkle MMCS hasher)
 
 
 @dataclasses.dataclass
@@ -204,7 +205,7 @@ def fri_prove(reduced_openings: dict, config: FriConfig, shift: int, challenger)
     layer = 0
     for log_m in range(log_max, log_min, -1):
         pair_mat = _ext_to_base_matrix(current)
-        tree = MerkleTree([pair_mat])
+        tree = MerkleTree([pair_mat], hasher=config.hasher)
         trees.append(tree)
         commits.append(tree.root())
         challenger.observe_digest(tree.root())
@@ -287,7 +288,8 @@ def verify_query_fold(query_proof: FriQueryProof, proof: FriProof,
         root = proof.commit_phase_commits[layer]
         pair_index = idx >> 1
         dims = [(1 << (log_m - 1), 10)]
-        if not verify_opening(root, dims, pair_index, [opening.pair_row], opening.path):
+        if not verify_opening(root, dims, pair_index, [opening.pair_row],
+                              opening.path, hasher=config.hasher):
             raise FriError(f"bad commit-phase Merkle path at layer {layer}")
         row = np.asarray(opening.pair_row, dtype=np.uint64)
         e0 = tuple(int(v) for v in row[0:5])

@@ -100,7 +100,7 @@ class TwoAdicFriPcs:
             ldes.append(lde)
             rev = bitrev_indices(log_h + self.log_blowup)
             committed.append(np.asarray(bb.from_monty(lde[rev])))
-        tree = MerkleTree(committed)
+        tree = MerkleTree(committed, hasher=self.config.hasher)
         data = ProverData(
             coeffs=coeffs_list, ldes=ldes, tree=tree, log_heights=log_heights
         )
@@ -250,7 +250,8 @@ class TwoAdicFriPcs:
                 )
                 tree_idx = idx >> (log_max - tree_log_max)
                 if not verify_opening(
-                    root, lde_dims, tree_idx, opening.opened_rows, opening.path
+                    root, lde_dims, tree_idx, opening.opened_rows,
+                    opening.path, hasher=config.hasher,
                 ):
                     raise FriError(f"bad input opening (round {ri})")
                 for mi, ((h, w), mat_points) in enumerate(zip(rdims, points)):

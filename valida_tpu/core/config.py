@@ -20,12 +20,17 @@ class StarkConfig:
 
 
 def default_config(num_queries: int = 40, proof_of_work_bits: int = 8,
-                   log_blowup: int = 1, debug_checks: bool = True) -> StarkConfig:
-    """The reference CLI's parameters: blowup 2, 40 queries, 8-bit PoW."""
+                   log_blowup: int = 1, debug_checks: bool = True,
+                   hasher: str = "keccak") -> StarkConfig:
+    """The reference CLI's parameters: blowup 2, 40 queries, 8-bit PoW.
+
+    hasher selects the Merkle MMCS hash: "keccak" (reference parity) or
+    "poseidon2" (arithmetic-friendly, usually faster on TPU)."""
     fri = FriConfig(
         log_blowup=log_blowup,
         num_queries=num_queries,
         proof_of_work_bits=proof_of_work_bits,
+        hasher=hasher,
     )
     return StarkConfig(pcs=TwoAdicFriPcs(fri, coset_shift=bb.GENERATOR),
                        debug_checks=debug_checks)

@@ -27,27 +27,56 @@ from .keccak import keccak256_words, keccak256_words_host
 DIGEST_WORDS = 8
 
 
-def _hash_rows(mats_at_level):
+class Hasher:
+    """Digest hasher for the MMCS: batched u32-word-row hashing."""
+
+    def __init__(self, name, hash_words, hash_words_host):
+        self.name = name
+        self.hash_words = hash_words
+        self.hash_words_host = hash_words_host
+
+
+KECCAK = Hasher("keccak", keccak256_words, keccak256_words_host)
+
+
+def _poseidon2_hasher():
+    from . import poseidon2 as p2
+
+    return Hasher("poseidon2", p2.hash_words, p2.hash_words_host)
+
+
+_HASHERS = {"keccak": lambda: KECCAK, "poseidon2": _poseidon2_hasher}
+
+
+def get_hasher(name) -> Hasher:
+    if isinstance(name, Hasher):
+        return name
+    return _HASHERS[name]()
+
+
+def _hash_rows(mats_at_level, hasher=KECCAK):
     """mats: list of [n, w] uint32 canonical -> [n, 8] digests."""
     from ..backend import xp_of
 
     xp = xp_of(mats_at_level[0])
     cat = xp.concatenate([m.astype(np.uint32) for m in mats_at_level], axis=1)
-    return keccak256_words(cat)
+    return hasher.hash_words(cat)
 
 
-def _compress(left, right):
+def _compress(left, right, hasher=KECCAK):
     """left/right [n, 8] -> [n, 8]."""
     from ..backend import xp_of
 
     xp = xp_of(left)
-    return keccak256_words(xp.concatenate([left, right], axis=1))
+    return hasher.hash_words(xp.concatenate([left, right], axis=1))
 
 
 class MerkleTree:
-    def __init__(self, matrices):
+    def __init__(self, matrices, hasher=KECCAK):
         """matrices: list of uint32 arrays [h_i, w_i], canonical values,
         h_i a power of two.  Order is preserved for openings."""
+        hasher = get_hasher(hasher)
+        self.hasher = hasher
         self.matrices = [asarray(m) for m in matrices]
         heights = [int(m.shape[0]) for m in self.matrices]
         assert all(h & (h - 1) == 0 for h in heights)
@@ -60,13 +89,13 @@ class MerkleTree:
         # build levels top (leaves) down to root
         self.levels: dict[int, jnp.ndarray] = {}
         k = self.log_max
-        d = _hash_rows(self._by_level[k])
+        d = _hash_rows(self._by_level[k], hasher)
         self.levels[k] = d
         while k > 0:
             k -= 1
-            d = _compress(d[0::2], d[1::2])
+            d = _compress(d[0::2], d[1::2], hasher)
             if k in self._by_level:
-                d = _compress(d, _hash_rows(self._by_level[k]))
+                d = _compress(d, _hash_rows(self._by_level[k], hasher), hasher)
             self.levels[k] = d
         self.root_array = np.asarray(self.levels[0][0])
 
@@ -92,12 +121,14 @@ class MerkleTree:
         return rows, path
 
 
-def verify_opening(root, dims, index: int, opened_rows, path) -> bool:
+def verify_opening(root, dims, index: int, opened_rows, path,
+                   hasher=KECCAK) -> bool:
     """Host-side path verification.
 
     dims: list of (height, width) per matrix (commitment shape metadata);
     opened_rows: list of uint32 arrays; path: sibling digests leaf->root.
     """
+    hasher = get_hasher(hasher)
     log_max = max(int(h).bit_length() - 1 for h, _ in dims)
     by_level: dict[int, list] = {}
     for (h, _w), row in zip(dims, opened_rows):
@@ -106,10 +137,10 @@ def verify_opening(root, dims, index: int, opened_rows, path) -> bool:
 
     def h_rows(k):
         words = np.concatenate([np.asarray(r, dtype=np.uint32) for r in by_level[k]])
-        return keccak256_words_host(words)
+        return hasher.hash_words_host(words)
 
     def c(a, b):
-        return keccak256_words_host(list(a) + list(b))
+        return hasher.hash_words_host(list(a) + list(b))
 
     d = h_rows(log_max)
     idx = index

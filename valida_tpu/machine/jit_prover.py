@@ -21,10 +21,25 @@ every compiled stage.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# stage compiles are the dominant one-time cost; persist them across
+# processes so reruns (and the benchmark driver) skip XLA compilation
+try:
+    _cache_dir = os.environ.get(
+        "VALIDA_TPU_XLA_CACHE",
+        os.path.expanduser("~/.cache/valida_tpu_xla"),
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # cache is an optimization only
+    pass
 
 from ..field import babybear as bb
 from ..field import ext as extf
@@ -101,16 +116,18 @@ class DeviceTree:
 
 
 @functools.lru_cache(maxsize=None)
-def _keccak_jit(shape):
-    return jax.jit(keccak256_words)
+def _hasher_jit(shape, hasher_name):
+    from ..crypto.merkle import get_hasher
+
+    return jax.jit(get_hasher(hasher_name).hash_words)
 
 
-def _hash_level(mats):
+def _hash_level(mats, hasher_name="keccak"):
     cat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
-    return _keccak_jit(tuple(int(x) for x in cat.shape))(cat)
+    return _hasher_jit(tuple(int(x) for x in cat.shape), hasher_name)(cat)
 
 
-def _build_levels_jit(mats):
+def _build_levels_jit(mats, hasher_name="keccak"):
     """Like _build_levels, but per-level jitted keccak calls (small
     compiles, shared across trees of the same shapes)."""
     by_level = {}
@@ -119,15 +136,15 @@ def _build_levels_jit(mats):
         by_level.setdefault(k, []).append(m)
     log_max = max(by_level)
     levels = {}
-    d = _hash_level(by_level[log_max])
+    d = _hash_level(by_level[log_max], hasher_name)
     levels[log_max] = d
     k = log_max
     while k > 0:
         k -= 1
-        d = _hash_level([d[0::2], d[1::2]])
+        d = _hash_level([d[0::2], d[1::2]], hasher_name)
         if k in by_level:
-            inj = _hash_level(by_level[k])
-            d = _hash_level([d, inj])
+            inj = _hash_level(by_level[k], hasher_name)
+            d = _hash_level([d, inj], hasher_name)
         levels[k] = d
     return np.asarray(levels[0][0]), levels
 
@@ -335,7 +352,7 @@ def prove_jit(machine, config) -> MachineProof:
             coeffs.append(c)
             ldes.append(l)
             committed.append(cm)
-        root, levels = _build_levels_jit(committed)
+        root, levels = _build_levels_jit(committed, fri_config.hasher)
         tree = DeviceTree(committed, root, levels)
         return tree, coeffs, ldes
 
@@ -473,7 +490,7 @@ def prove_jit(machine, config) -> MachineProof:
     layer = 0
     for log_m in range(log_max, log_min, -1):
         pair_mat = _fri_pair_mat(log_m)(current)
-        root, levels = _build_levels_jit([pair_mat])
+        root, levels = _build_levels_jit([pair_mat], fri_config.hasher)
         tree = DeviceTree([pair_mat], root, levels)
         layer_trees.append(tree)
         commits.append(tree.root)

@@ -30,6 +30,7 @@ from ..air.lookup import (
 )
 from ..air.check import check_constraints, check_cumulative_sums
 from ..core.proof import MachineProof, Commitments, ChipProof, OpenedValues
+from ..utils import stage
 
 
 def prove(machine, config) -> MachineProof:
@@ -48,14 +49,16 @@ def prove(machine, config) -> MachineProof:
             prep_indices[ci] = len(prep_list)
             prep_list.append(np.asarray(p, dtype=np.uint32))
     if prep_list:
-        prep_commit, prep_data = pcs.commit_batches(prep_list)
+        with stage("commit to preprocessed traces"):
+            prep_commit, prep_data = pcs.commit_batches(prep_list)
     else:
         prep_commit, prep_data = np.zeros(8, dtype=np.uint32), None
     challenger.observe_digest(prep_commit)
 
     # -- main traces --------------------------------------------------------
-    main_traces = [np.asarray(c.generate_trace(machine), dtype=np.uint32)
-                   for c in chips]
+    with stage("generate main traces"):
+        main_traces = [np.asarray(c.generate_trace(machine), dtype=np.uint32)
+                       for c in chips]
     log_degrees = [int(t.shape[0]).bit_length() - 1 for t in main_traces]
     g_subgroups = [bb.two_adic_generator(ld) for ld in log_degrees]
     for ci, p in enumerate(prep_traces):
@@ -65,18 +68,21 @@ def prove(machine, config) -> MachineProof:
                 f"main height {main_traces[ci].shape[0]}"
             )
 
-    main_commit, main_data = pcs.commit_batches(main_traces)
+    with stage("commit to main traces"):
+        main_commit, main_data = pcs.commit_batches(main_traces)
     challenger.observe_digest(main_commit)
 
     # -- permutation --------------------------------------------------------
     perm_challenges = [challenger.sample_ext() for _ in range(3)]
-    perm_traces = [
-        generate_permutation_trace(machine, c, t, perm_challenges)
-        for c, t in zip(chips, main_traces)
-    ]
+    with stage("generate permutation traces"):
+        perm_traces = [
+            generate_permutation_trace(machine, c, t, perm_challenges)
+            for c, t in zip(chips, main_traces)
+        ]
     cumulative_sums = [perm_cumulative_sum(t) for t in perm_traces]
     perm_flat = [flatten_perm_trace(t) for t in perm_traces]
-    perm_commit, perm_data = pcs.commit_batches(perm_flat)
+    with stage("commit to permutation traces"):
+        perm_commit, perm_data = pcs.commit_batches(perm_flat)
     challenger.observe_digest(perm_commit)
 
     alpha = challenger.sample_ext()
@@ -94,7 +100,8 @@ def prove(machine, config) -> MachineProof:
 
     quotient_mats = []
     coset_shifts = []
-    for ci, chip in enumerate(chips):
+    with stage("compute quotient polynomial"):
+      for ci, chip in enumerate(chips):
         qd = log_quotient_degrees[ci]
         prep_lde = (
             prep_ldes[prep_indices[ci]] if ci in prep_indices else None
@@ -110,9 +117,10 @@ def prove(machine, config) -> MachineProof:
         )
         coset_shifts.append(bb.h_exp(pcs.coset_shift(), 1 << qd))
 
-    quotient_commit, quotient_data = pcs.commit_batches(
-        quotient_mats, domain_shifts=coset_shifts
-    )
+    with stage("commit to quotient chunks"):
+        quotient_commit, quotient_data = pcs.commit_batches(
+            quotient_mats, domain_shifts=coset_shifts
+        )
     challenger.observe_digest(quotient_commit)
 
     # -- openings -----------------------------------------------------------
@@ -140,7 +148,8 @@ def prove(machine, config) -> MachineProof:
     rounds.append((quotient_data, quotient_points))
     round_tags.append("quotient")
 
-    opened_values, opening_proof = pcs.open_multi_batches(rounds, challenger)
+    with stage("open multi batches"):
+        opened_values, opening_proof = pcs.open_multi_batches(rounds, challenger)
     opened = dict(zip(round_tags, opened_values))
 
     chip_proofs = []
