@@ -1,19 +1,34 @@
 """Memory chip: read/write log, (addr, clk)-sorted trace, memory-bus
-receives.
+receives, and the ENABLED ordering/consistency argument.
 
-Mirrors `memory/src/{lib,columns,stark}.rs`.  The reference's ordering
-constraints are fully commented out (stark.rs:22-78) and its dummy-read
-machinery disabled; we reproduce the *observable* behavior (trace layout +
-bus traffic) and additionally witness diff/addr_not_equal columns so the
-intended constraints can be enabled via `enable_air_constraints` once
-dummy-read insertion lands (tracked deviation).
+The reference's memory AIR is fully commented out and its dummy-read
+machinery disabled (`memory/src/stark.rs:22-78`, `memory/src/lib.rs:
+160-162,286-411`) — this implements the intended design, completed:
+
+* static-data initial writes are MERGED into the (addr, clk) sort (the
+  reference prepends them, which breaks address ordering across the
+  static/ops boundary — one reason its constraints could not be enabled);
+* dummy rows bound every addr/clk delta by the pre-insertion table length,
+  and pad the trace to a power of two at the last (addr, clk);
+* diff/diff_inv/addr_not_equal witnesses + counter/counter_mult feed a
+  LOCAL range-check bus (diff sent once per row, counter received with
+  multiplicity), proving the sort order and clk monotonicity;
+* constraints: flag booleanity, addr_not_equal correctness, diff
+  definition, read value consistency at unchanged addresses, first-touch
+  of an address must not be a read (read-before-write soundness; row 0
+  included), counter chaining.
+
+Note: STOREU8's `read_or_init` of a never-written cell logs a read of the
+default value, which this argument (correctly) rejects — that op is
+already internally inconsistent in the reference (3 reads on 2 CPU
+channels); see docs/deviations.md.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ..air.types import VPCol, Interaction
+from ..air.types import VPCol, Interaction, Bus, LOCAL
 from ..core.word import u32_to_bytes, MASK32
 from ..field import babybear as bb
 from .chip import Chip, IndexAllocator
@@ -81,58 +96,100 @@ class MemoryChip(Chip):
     def width(self):
         return NUM_MEM_COLS
 
-    def generate_trace(self, machine):
-        """Vectorized: flatten the op log, lexsort by (addr, clk) —
-        memory/src/lib.rs:143-194 — and scatter columns."""
-        mclk_l, mw_l, maddr_l, mval_l = [], [], [], []
-        for ck in sorted(self.operations):
+    def _sorted_rows(self):
+        """(clk, kind, addr, value) rows: static merged, sorted, dummies
+        inserted to bound deltas, padded to a power of two.
+
+        kind: 0 = dummy, 1 = read, 2 = write, 3 = static initial write.
+        """
+        rows = [(0, 3, addr, val) for addr, val in self.static_data.items()]
+        for ck in self.operations:
             for kind, addr, value in self.operations[ck]:
-                mclk_l.append(ck)
-                mw_l.append(kind == "w")
-                maddr_l.append(addr)
-                mval_l.append(value)
-        n_ops = len(mclk_l)
-        n_static = len(self.static_data)
-        n = n_static + n_ops
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+                rows.append((ck, 1 if kind == "r" else 2, addr, value))
+        # sort by (addr, clk, static-first)
+        rows.sort(key=lambda t: (t[2], t[0], 0 if t[1] == 3 else 1))
+        if not rows:
+            return [(0, 0, 0, 0)]
+
+        table_len = len(rows)
+        out = []
+        for i, row in enumerate(rows):
+            out.append(row)
+            if i + 1 == len(rows):
+                break
+            clk, _k, addr, value = row
+            nclk, _nk, naddr, _nv = rows[i + 1]
+            if naddr != addr:
+                gap = naddr - addr
+                k = 1
+                while gap > table_len:
+                    # address-stepping dummies carry value 0 (constrained)
+                    out.append((clk, 0, addr + k * table_len, 0))
+                    gap -= table_len
+                    k += 1
+            else:
+                gap = nclk - clk
+                k = 1
+                while gap > table_len:
+                    out.append((clk + k * table_len, 0, addr, value))
+                    gap -= table_len
+                    k += 1
+        # pad to a power of two with dummies at the last (addr, clk)
+        n = len(out)
+        n2 = 1 << max((n - 1).bit_length(), 0)
+        last = out[-1]
+        out += [(last[0], 0, last[2], last[3])] * (n2 - n)
+        return out
+
+    def generate_trace(self, machine):
+        rows_l = self._sorted_rows()
+        n2 = len(rows_l)
+        arr = np.array(rows_l, dtype=np.int64)  # [n2, 4] clk kind addr value
+        clk, kind, addr, value = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+
         rows = np.zeros((n2, NUM_MEM_COLS), dtype=np.uint32)
-        rows[:n, COUNTER] = np.arange(n, dtype=np.uint32)
+        rows[:, CLK] = (clk % bb.P).astype(np.uint32)
+        rows[:, ADDR] = (addr % bb.P).astype(np.uint32)
+        vals = value.astype(np.uint32)
+        for k in range(4):
+            rows[:, VALUE[k]] = (vals >> np.uint32(8 * (3 - k))) & np.uint32(0xFF)
+        rows[:, IS_READ] = (kind == 1).astype(np.uint32)
+        rows[:, IS_WRITE] = ((kind == 2) | (kind == 3)).astype(np.uint32)
+        rows[:, IS_STATIC_INITIAL] = (kind == 3).astype(np.uint32)
+        rows[:, COUNTER] = np.arange(n2, dtype=np.uint32)
 
-        if n_static:
-            saddrs = np.fromiter(sorted(self.static_data), dtype=np.int64,
-                                 count=n_static)
-            svals = np.fromiter(
-                (self.static_data[a] for a in sorted(self.static_data)),
-                dtype=np.uint32, count=n_static,
-            )
-            rows[:n_static, IS_STATIC_INITIAL] = 1
-            rows[:n_static, IS_WRITE] = 1
-            rows[:n_static, ADDR] = (saddrs % bb.P).astype(np.uint32)
-            for k in range(4):
-                rows[:n_static, VALUE[k]] = (
-                    (svals >> np.uint32(8 * (3 - k))) & np.uint32(0xFF)
-                )
-
-        if n_ops:
-            mclk = np.array(mclk_l, dtype=np.int64)
-            mwrite = np.array(mw_l, dtype=bool)
-            maddr = np.array(maddr_l, dtype=np.int64)
-            mvalue = np.array(mval_l, dtype=np.uint32)
-            order = np.lexsort((mclk, maddr))  # stable (addr, clk)
-            mclk, mwrite = mclk[order], mwrite[order]
-            maddr, mvalue = maddr[order], mvalue[order]
-            sl = slice(n_static, n)
-            rows[sl, CLK] = (mclk % bb.P).astype(np.uint32)
-            rows[sl, ADDR] = (maddr % bb.P).astype(np.uint32)
-            for k in range(4):
-                rows[sl, VALUE[k]] = (
-                    (mvalue >> np.uint32(8 * (3 - k))) & np.uint32(0xFF)
-                )
-            rows[sl, IS_READ] = (~mwrite).astype(np.uint32)
-            rows[sl, IS_WRITE] = mwrite.astype(np.uint32)
+        # diff / diff_inv / addr_not_equal witnesses
+        addr_delta = addr[1:] - addr[:-1]
+        clk_delta = clk[1:] - clk[:-1]
+        ane = addr_delta != 0
+        diff = np.where(ane, addr_delta, clk_delta)
+        assert (diff >= 0).all() and (diff < n2).all(), "unbounded delta"
+        rows[:-1, DIFF] = diff.astype(np.uint32)
+        rows[:-1, ADDR_NOT_EQUAL] = ane.astype(np.uint32)
+        dinv_src = np.where(ane, addr_delta % bb.P, 0).astype(np.uint32)
+        rows[:-1, DIFF_INV] = np.asarray(
+            bb.from_monty(bb.inv(bb.to_monty(dinv_src)))
+        )
+        # counter_mult: multiplicity of each diff value (last row diff = 0)
+        diffs_all = np.concatenate([diff, [0]])
+        counts = np.bincount(diffs_all.astype(np.int64), minlength=n2)
+        rows[:, COUNTER_MULT] = counts[:n2].astype(np.uint32)
         return rows
 
-    # -- interactions (memory/src/lib.rs:215-236) ---------------------------
+    # -- interactions -------------------------------------------------------
+
+    def local_sends(self):
+        return [
+            Interaction(fields=[VPCol.single_main(DIFF)], count=VPCol.one(),
+                        bus=Bus(LOCAL, 0))
+        ]
+
+    def local_receives(self):
+        return [
+            Interaction(fields=[VPCol.single_main(COUNTER)],
+                        count=VPCol.single_main(COUNTER_MULT),
+                        bus=Bus(LOCAL, 0))
+        ]
 
     def global_receives(self, machine):
         fields = [
@@ -147,6 +204,53 @@ class MemoryChip(Chip):
                         bus=machine.mem_bus())
         ]
 
+    # -- AIR (the intended design, memory/src/stark.rs:25-77) ---------------
+
     def eval(self, b):
-        # reference AIR is fully disabled (memory/src/stark.rs:22-78)
-        pass
+        local = b.main_local
+        nxt = b.main_next
+        one = 1
+
+        b.assert_bool(local[IS_READ])
+        b.assert_bool(local[IS_WRITE])
+        b.assert_bool(local[IS_READ] + local[IS_WRITE])
+        b.assert_bool(local[ADDR_NOT_EQUAL])
+
+        addr_delta = nxt[ADDR] - local[ADDR]
+        addr_equal = one - local[ADDR_NOT_EQUAL]
+
+        b.when_transition().when(local[ADDR_NOT_EQUAL]).assert_one(
+            addr_delta * local[DIFF_INV]
+        )
+        b.when_transition().when(addr_equal).assert_zero(addr_delta)
+
+        b.when_transition().when(local[ADDR_NOT_EQUAL]).assert_eq(
+            local[DIFF], addr_delta
+        )
+        b.when_transition().when(addr_equal).assert_eq(
+            local[DIFF], nxt[CLK] - local[CLK]
+        )
+
+        # non-write rows (reads and dummies) at an unchanged address
+        # preserve the value — the chain from the last write to every read
+        for k in range(4):
+            b.when_transition().when(
+                (one - nxt[IS_WRITE]) * addr_equal
+            ).assert_eq(nxt[VALUE[k]], local[VALUE[k]])
+        # a read can never be the first row at a (changed) address
+        b.when_transition().when(nxt[IS_READ]).assert_zero(addr_delta)
+        b.when_first_row().assert_zero(local[IS_READ])
+        # non-write rows entering a NEW address carry value 0 (so a read
+        # chained off address-stepping dummies can only fabricate the
+        # read_or_init default, never an arbitrary value); same for row 0
+        for k in range(4):
+            b.when_transition().when(
+                local[ADDR_NOT_EQUAL] * (one - nxt[IS_WRITE])
+            ).assert_zero(nxt[VALUE[k]])
+            b.when_first_row().assert_zero(
+                (one - local[IS_WRITE]) * local[VALUE[k]]
+            )
+
+        # counter chains 0, 1, 2, ...
+        b.when_first_row().assert_zero(local[COUNTER])
+        b.when_transition().assert_eq(nxt[COUNTER], local[COUNTER] + one)
