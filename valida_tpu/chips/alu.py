@@ -387,16 +387,45 @@ ex_mulhu32 = _mul_exec("mulhu", OC.MULHU32, mulhu_u32)
 
 
 # ---------------------------------------------------------------------------
-# Div32 (AIR stub, as in the reference)
+# Div32 — complete unsigned-division argument (the reference's AIR is a
+# stub, div/stark.rs:18-21; SURVEY §7 step 8 prescribes the mul-pattern
+# proof).  For is_div rows we prove b = a*c + r exactly over the integers:
+#   byte-limb carry chain with range-checked carries, zero carry out of
+#   byte 3, and zero high partial products (sums of nonnegative
+#   range-checked byte products vanish iff every term does);
+#   r < c is delegated to the Lt32 chip via a general-bus send.
+# SDIV32 rows remain flag-only (as in the reference).
 # ---------------------------------------------------------------------------
 
 _d = IndexAllocator()
 DIV_IN1 = _d.word()
 DIV_IN2 = _d.word()
 DIV_OUT = _d.word()
+DIV_R = _d.word()       # remainder
+DIV_T0 = _d.scalar()    # carry out of byte 0 (8-bit)
+DIV_T1L = _d.scalar()   # carry out of byte 1: T1L + 256*T1H  (< 512)
+DIV_T1H = _d.scalar()
+DIV_T2L = _d.scalar()   # carry out of byte 2: T2L + 256*(T2H0 + 2*T2H1)
+DIV_T2H0 = _d.scalar()
+DIV_T2H1 = _d.scalar()
 DIV_IS_DIV = _d.scalar()
 DIV_IS_SDIV = _d.scalar()
 NUM_DIV_COLS = _d.width
+
+
+def _div_carries(a, b, c, r):
+    """Carry chain of b = a*c + r in LSB-first byte limbs (ints/arrays)."""
+    ab = [(a >> (8 * i)) & 0xFF for i in range(4)]
+    bbts = [(b >> (8 * i)) & 0xFF for i in range(4)]
+    cb = [(c >> (8 * i)) & 0xFF for i in range(4)]
+    rb = [(r >> (8 * i)) & 0xFF for i in range(4)]
+    p0 = ab[0] * cb[0]
+    t0 = (p0 + rb[0] - bbts[0]) // 256
+    p1 = ab[0] * cb[1] + ab[1] * cb[0]
+    t1 = (p1 + rb[1] + t0 - bbts[1]) // 256
+    p2 = ab[0] * cb[2] + ab[1] * cb[1] + ab[2] * cb[0]
+    t2 = (p2 + rb[2] + t1 - bbts[2]) // 256
+    return t0, t1, t2
 
 
 class Div32Chip(Chip):
@@ -417,18 +446,50 @@ class Div32Chip(Chip):
         _byte_cols(rows, sl, DIV_IN1, b)
         _byte_cols(rows, sl, DIV_IN2, c)
         _byte_cols(rows, sl, DIV_OUT, a)
-        rows[sl, DIV_IS_DIV] = (kinds == 0).astype(np.uint32)
+        is_div = kinds == 0
+        rows[sl, DIV_IS_DIV] = is_div.astype(np.uint32)
         rows[sl, DIV_IS_SDIV] = (kinds == 1).astype(np.uint32)
+        a64 = a.astype(np.int64)
+        b64 = b.astype(np.int64)
+        c64 = c.astype(np.int64)
+        r64 = np.where(is_div, b64 - a64 * c64, 0)
+        _byte_cols(rows, sl, DIV_R, r64.astype(np.uint32))
+        t0, t1, t2 = _div_carries(a64, b64, c64, r64)
+        t0 = np.where(is_div, t0, 0)
+        t1 = np.where(is_div, t1, 0)
+        t2 = np.where(is_div, t2, 0)
+        rows[sl, DIV_T0] = t0.astype(np.uint32)
+        rows[sl, DIV_T1L] = (t1 & 0xFF).astype(np.uint32)
+        rows[sl, DIV_T1H] = (t1 >> 8).astype(np.uint32)
+        rows[sl, DIV_T2L] = (t2 & 0xFF).astype(np.uint32)
+        rows[sl, DIV_T2H0] = ((t2 >> 8) & 1).astype(np.uint32)
+        rows[sl, DIV_T2H1] = ((t2 >> 9) & 1).astype(np.uint32)
         return rows
 
     def global_sends(self, machine):
         # intended design: see Mul32Chip.global_sends
         is_real = VPCol.sum_main([DIV_IS_DIV, DIV_IS_SDIV])
-        return [
+        sends = [
             Interaction(fields=[VPCol.single_main(c)], count=is_real,
                         bus=machine.range_bus())
             for c in DIV_OUT
         ]
+        # remainder bytes and carry limbs are 8-bit range-checked
+        is_div = VPCol.single_main(DIV_IS_DIV)
+        for c in DIV_R + [DIV_T0, DIV_T1L, DIV_T2L]:
+            sends.append(
+                Interaction(fields=[VPCol.single_main(c)], count=is_div,
+                            bus=machine.range_bus())
+            )
+        # r < c delegated to the Lt32 chip (shift-style delegation)
+        fields = [VPCol.const(OC.LT32)]
+        fields += [VPCol.single_main(c) for c in DIV_R + DIV_IN2]
+        fields += [VPCol.const(0)] * 3 + [VPCol.const(1)]
+        sends.append(
+            Interaction(fields=fields, count=is_div,
+                        bus=machine.general_bus())
+        )
+        return sends
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -442,8 +503,52 @@ class Div32Chip(Chip):
             bus=machine.general_bus())]
 
     def eval(self, b):
-        # reference AIR is a stub (div/stark.rs:18-21); see SURVEY §2.3
-        pass
+        local = b.main_local
+        is_div = local[DIV_IS_DIV]
+        b.assert_bool(is_div)
+        b.assert_bool(local[DIV_IS_SDIV])
+        b.assert_bool(is_div + local[DIV_IS_SDIV])
+        b.assert_bool(local[DIV_T1H])
+        b.assert_bool(local[DIV_T2H0])
+        b.assert_bool(local[DIV_T2H1])
+
+        # LSB-first byte views (word columns are big-endian)
+        ab = [local[DIV_OUT[3 - i]] for i in range(4)]
+        bbt = [local[DIV_IN1[3 - i]] for i in range(4)]
+        cb = [local[DIV_IN2[3 - i]] for i in range(4)]
+        rb = [local[DIV_R[3 - i]] for i in range(4)]
+        t0 = local[DIV_T0]
+        t1 = local[DIV_T1L] + 256 * local[DIV_T1H]
+        t2 = local[DIV_T2L] + 256 * (local[DIV_T2H0] + 2 * local[DIV_T2H1])
+
+        p0 = ab[0] * cb[0]
+        p1 = ab[0] * cb[1] + ab[1] * cb[0]
+        p2 = ab[0] * cb[2] + ab[1] * cb[1] + ab[2] * cb[0]
+        p3 = ab[0] * cb[3] + ab[1] * cb[2] + ab[2] * cb[1] + ab[3] * cb[0]
+
+        b.when(is_div).assert_zero(p0 + rb[0] - bbt[0] - 256 * t0)
+        b.when(is_div).assert_zero(p1 + rb[1] + t0 - bbt[1] - 256 * t1)
+        b.when(is_div).assert_zero(p2 + rb[2] + t1 - bbt[2] - 256 * t2)
+        b.when(is_div).assert_zero(p3 + rb[3] + t2 - bbt[3])
+        # no overflow: all high partial products vanish (each term is a
+        # product of range-checked bytes, so the field sum is 0 iff every
+        # term is 0)
+        b.when(is_div).assert_zero(
+            ab[1] * cb[3] + ab[2] * cb[2] + ab[3] * cb[1]
+        )
+        b.when(is_div).assert_zero(ab[2] * cb[3] + ab[3] * cb[2])
+        b.when(is_div).assert_zero(ab[3] * cb[3])
+
+
+def _div_side_effects(m, a, b, c):
+    """Witness bookkeeping for an unsigned-division row: remainder range
+    checks, carry-limb range checks, and the delegated r < c comparison."""
+    r = b - a * c
+    m.range().range_check_word(r)
+    t0, t1, t2 = _div_carries(a, b, c, r)
+    for v in (t0, t1 & 0xFF, t2 & 0xFF):
+        m.range().count[v] = m.range().count.get(v, 0) + 1
+    m.lt_u32().operations.append(("lt", 1, r, c))
 
 
 def _div_exec(kind, opcode, fn):
@@ -451,6 +556,8 @@ def _div_exec(kind, opcode, fn):
         b, c, imm, _ = _read_b_c(m, ops, opcode)
         a = fn(b, c)
         m.div_u32().operations.append((kind, a, b, c))
+        if kind == "div":
+            _div_side_effects(m, a, b, c)
         _finish(m, ops, opcode, a, imm)
 
     return ex
@@ -946,6 +1053,7 @@ def _shift_exec(kind, opcode, fn):
             m.mul_u32().operations.append(("mul", a, b, d))
         elif kind == "shr":
             m.div_u32().operations.append(("div", a, b, d))
+            _div_side_effects(m, a, b, d)
         else:
             m.div_u32().operations.append(("sdiv", a, b, d))
         m.shift_u32().operations.append((kind, a, b, c))

@@ -134,6 +134,24 @@ struct Vm {
     range_count[value & 0xFF]++;
   }
 
+  // witness bookkeeping for an unsigned-division row (mirrors
+  // chips/alu.py::_div_side_effects)
+  void div_side_effects(uint32_t a, uint32_t b, uint32_t c) {
+    uint32_t r = b - a * c;
+    range_check(r);
+    int64_t a0 = a & 0xFF, a1 = (a >> 8) & 0xFF, a2 = (a >> 16) & 0xFF;
+    int64_t c0 = c & 0xFF, c1 = (c >> 8) & 0xFF, c2 = (c >> 16) & 0xFF;
+    int64_t b0 = b & 0xFF, b1 = (b >> 8) & 0xFF, b2 = (b >> 16) & 0xFF;
+    int64_t r0 = r & 0xFF, r1 = (r >> 8) & 0xFF, r2 = (r >> 16) & 0xFF;
+    int64_t t0 = (a0 * c0 + r0 - b0) / 256;
+    int64_t t1 = (a0 * c1 + a1 * c0 + r1 + t0 - b1) / 256;
+    int64_t t2 = (a0 * c2 + a1 * c1 + a2 * c0 + r2 + t1 - b2) / 256;
+    range_count[t0 & 0xFF]++;
+    range_count[t1 & 0xFF]++;
+    range_count[t2 & 0xFF]++;
+    lt_ops.push_back({0, 1, r, c});
+  }
+
   // ---- operand fetch shared by ALU ops ----
   bool read_b_c(const Instruction& iw, bool left_imm_allowed, uint32_t opc,
                 uint32_t* b, uint32_t* c, bool* has_imm, uint32_t* imm,
@@ -353,6 +371,7 @@ struct Vm {
         uint32_t a = opc == DIV32 ? b / c
                                   : (uint32_t)((int32_t)b / (int32_t)c);
         div_ops.push_back({opc == DIV32 ? 0u : 1u, a, b, c});
+        if (opc == DIV32) div_side_effects(a, b, c);
         finish_alu(iw, a, has_imm, imm, false, true);
         break;
       }
@@ -411,6 +430,7 @@ struct Vm {
           a = b >> sh;
           kind = 1;
           div_ops.push_back({0, a, b, d});
+          div_side_effects(a, b, d);
         } else {
           a = (uint32_t)((int32_t)b >> sh);
           kind = 2;
