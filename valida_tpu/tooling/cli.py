@@ -48,6 +48,10 @@ def main(argv=None):
     parser.add_argument("advice", nargs="?", default=None)
     parser.add_argument("--numpy", action="store_true",
                         help="prove on the numpy host backend")
+    parser.add_argument("--jit", action="store_true",
+                        help="prove with the device-resident jitted prover")
+    parser.add_argument("--hasher", choices=["keccak", "poseidon2"],
+                        default="keccak", help="Merkle MMCS hasher")
     parser.add_argument("--no-debug-checks", action="store_true")
     args = parser.parse_args(argv)
 
@@ -82,11 +86,17 @@ def main(argv=None):
             f.write(machine.output().bytes())
         return 0
 
-    config = default_config(debug_checks=not args.no_debug_checks)
+    config = default_config(debug_checks=not args.no_debug_checks,
+                            hasher=args.hasher)
 
     if args.action == "prove":
         machine.run(advice=advice)
-        proof = machine.prove(config)
+        if args.jit:
+            from ..machine.jit_prover import prove_jit
+
+            proof = prove_jit(machine, config)
+        else:
+            proof = machine.prove(config)
         machine.verify(config, proof)
         with open(args.action_file, "wb") as f:
             f.write(serialize_proof(proof))
