@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def bench_ntt_jax(log_n=20, cols=8, iters=8):
+def bench_ntt_jax(log_n=19, cols=64, iters=8):
     import jax
     import jax.numpy as jnp
     from valida_tpu.poly import ntt as nttm
@@ -40,7 +40,7 @@ def bench_ntt_jax(log_n=20, cols=8, iters=8):
     return butterflies / dt, dt
 
 
-def bench_ntt_numpy(log_n=18, cols=8, iters=3):
+def bench_ntt_numpy(log_n=18, cols=64, iters=3):
     from valida_tpu.poly import ntt as nttm
 
     n = 1 << log_n

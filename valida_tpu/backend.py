@@ -12,9 +12,25 @@ proving and verifying are then pure numpy, no device needed.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# persistent XLA compilation cache: stage compiles (and slow remote
+# compiles) are one-time per shape across all processes
+try:
+    _cache_dir = os.environ.get(
+        "VALIDA_TPU_XLA_CACHE",
+        os.path.expanduser("~/.cache/valida_tpu_xla"),
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:  # cache is an optimization only
+    pass
 
 _BACKEND = "jax"
 

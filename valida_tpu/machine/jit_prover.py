@@ -27,19 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# stage compiles are the dominant one-time cost; persist them across
-# processes so reruns (and the benchmark driver) skip XLA compilation
-try:
-    _cache_dir = os.environ.get(
-        "VALIDA_TPU_XLA_CACHE",
-        os.path.expanduser("~/.cache/valida_tpu_xla"),
-    )
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:  # cache is an optimization only
-    pass
+# (persistent compilation cache is configured in valida_tpu.backend)
 
 from ..field import babybear as bb
 from ..field import ext as extf

@@ -12,6 +12,12 @@ over (blocks x column tiles) finishes the transform.
 
 Falls back to the plain stage loop when Pallas is unavailable (e.g. CPU
 tests) or shapes don't fit.
+
+Status: correct (bit-identical to poly/ntt.dif, tested on hardware) but
+currently ~1.5x SLOWER than XLA's own stage fusion — the roll-based
+butterflies do ~2.5x the arithmetic to keep fixed shapes for buffer reuse.
+Not wired as the default; kept as the starting point for a properly tuned
+in-place kernel (tracked perf work).
 """
 
 from __future__ import annotations
@@ -26,36 +32,49 @@ from ..field import babybear as bb
 from . import ntt as nttm
 
 # max rows of a VMEM-resident block (B * C_TILE * 4B * ~3 buffers < 16MB)
-BLOCK_ROWS = 512
+BLOCK_ROWS = 2048
 COL_TILE = 128
 
 
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(log_b: int, inverse: bool) -> np.ndarray:
-    """[log_b, B/2] per-stage twiddle tables (row s zero-padded past its
-    half length) so the kernel only needs static row/prefix slices."""
+    """[log_b, B] per-ROW stage tables: row s holds, for each of the B
+    rows, the twiddle to apply if the row is the "hi" half of its
+    butterfly, or 1 if it is the "lo" half.  Fixed [B, C] shapes per stage
+    let Mosaic reuse buffers instead of allocating per-stage stacks."""
     pw = nttm._root_powers(log_b, inverse)
     b_rows = 1 << log_b
-    out = np.zeros((max(log_b, 1), max(b_rows // 2, 1)), dtype=np.uint32)
+    out = np.zeros((max(log_b, 1) * max(b_rows, 1), 1), dtype=np.uint32)
     for s in range(log_b):
         half = b_rows >> (s + 1)
-        out[s, :half] = pw[:: 1 << s][:half]
+        period = half * 2
+        for i in range(b_rows):
+            j = i % period
+            out[s * b_rows + i, 0] = (
+                pw[:: 1 << s][j - half] if j >= half else 0
+            )
     return out
 
 
 def _block_kernel(log_b: int):
     def kernel(tw_ref, x_ref, o_ref):
         a = x_ref[...]  # [B, C_TILE]
-        b_rows = a.shape[0]
+        b_rows, cols = a.shape
+        row_ids = jax.lax.broadcasted_iota(jnp.uint32, (b_rows, cols), 0)
         for s in range(log_b):
             half = b_rows >> (s + 1)
-            tw = tw_ref[s, :half]
-            x = a.reshape(1 << s, 2, half, a.shape[-1])
-            x0 = x[:, 0]
-            x1 = x[:, 1]
-            lo = bb.add(x0, x1)
-            hi = bb.mul(bb.sub(x0, x1), tw[None, :, None])
-            a = jnp.stack([lo, hi], axis=1).reshape(b_rows, a.shape[-1])
+            is_lo = (row_ids & jnp.uint32(half)) == 0
+            tw = jnp.broadcast_to(tw_ref[s * b_rows : (s + 1) * b_rows, :],
+                                  (b_rows, cols))
+            partner = jnp.where(
+                is_lo,
+                jnp.roll(a, -half, axis=0),
+                jnp.roll(a, half, axis=0),
+            )
+            # lo rows: a + partner(hi); hi rows: (partner(lo) - a) * tw
+            a = jnp.where(
+                is_lo, bb.add(a, partner), bb.mul(bb.sub(partner, a), tw)
+            )
         o_ref[...] = a
 
     return kernel
