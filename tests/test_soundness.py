@@ -1,0 +1,167 @@
+"""Soundness tests: the verifier must reject tampering with every proof
+component, and the debug tooling must localize witness corruption."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from valida_tpu.core.config import test_config
+from valida_tpu.field import babybear as bb
+from valida_tpu.field import ext as extf
+from valida_tpu.machine import VerificationError
+
+from tests.test_machine_minimal import MiniMachine
+
+
+@pytest.fixture(scope="module")
+def proved():
+    m = MiniMachine([(1, 2), (3, 4), (7, 7), (15, 0)])
+    config = test_config(debug_checks=False)
+    proof = m.prove(config)
+    m.verify(config, proof)  # sanity
+    return m, config, proof
+
+
+def expect_reject(m, config, proof):
+    try:
+        m.verify(config, proof)
+    except Exception:
+        return
+    raise AssertionError("verifier accepted a tampered proof")
+
+
+def test_reject_tampered_main_commitment(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    bad.commitments.main_trace = bad.commitments.main_trace.copy()
+    bad.commitments.main_trace[0] ^= 1
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_perm_commitment(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    bad.commitments.perm_trace = bad.commitments.perm_trace.copy()
+    bad.commitments.perm_trace[3] ^= 1
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_quotient_commitment(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    bad.commitments.quotient_chunks = bad.commitments.quotient_chunks.copy()
+    bad.commitments.quotient_chunks[7] ^= 1
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_opened_trace_value(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    v = list(bad.chip_proofs[0].opened_values.trace_local[0])
+    v[0] = (v[0] + 1) % bb.P
+    bad.chip_proofs[0].opened_values.trace_local[0] = tuple(v)
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_perm_opening(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    v = list(bad.chip_proofs[0].opened_values.permutation_local[0])
+    v[2] = (v[2] + 5) % bb.P
+    bad.chip_proofs[0].opened_values.permutation_local[0] = tuple(v)
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_quotient_opening(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    v = list(bad.chip_proofs[0].opened_values.quotient_chunks[0])
+    v[1] = (v[1] + 1) % bb.P
+    bad.chip_proofs[0].opened_values.quotient_chunks[0] = tuple(v)
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_cumulative_sum_pair(proved):
+    """Shift one chip's cumulative sum and compensate in the other so the
+    global sum still vanishes — the per-chip last-row constraint must
+    catch it."""
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    delta = (1, 0, 0, 0, 0)
+    bad.chip_proofs[0].cumulative_sum = extf.e_add(
+        tuple(bad.chip_proofs[0].cumulative_sum), delta
+    )
+    bad.chip_proofs[1].cumulative_sum = extf.e_sub(
+        tuple(bad.chip_proofs[1].cumulative_sum), delta
+    )
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_fri_final_poly(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    fp = list(bad.opening_proof.fri.final_poly)
+    fp[0] = (fp[0] + 1) % bb.P
+    bad.opening_proof.fri.final_poly = tuple(fp)
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_pow_witness(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    bad.opening_proof.fri.pow_witness = bad.opening_proof.fri.pow_witness + 1
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_query_row(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    qp = bad.opening_proof.query_proofs[0]
+    row = qp.input_openings[0].opened_rows[0].copy()
+    row[0] ^= 1
+    qp.input_openings[0].opened_rows[0] = row
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_merkle_path(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    qp = bad.opening_proof.query_proofs[0]
+    path = [p.copy() for p in qp.input_openings[0].path]
+    path[0][0] ^= 1
+    qp.input_openings[0].path = path
+    expect_reject(m, config, bad)
+
+
+def test_reject_tampered_commit_phase_opening(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    fq = bad.opening_proof.fri.query_proofs[0]
+    pr = fq.commit_phase_openings[0].pair_row.copy()
+    pr[0] ^= 1
+    fq.commit_phase_openings[0].pair_row = pr
+    expect_reject(m, config, bad)
+
+
+def test_reject_wrong_log_degree(proved):
+    m, config, proof = proved
+    bad = copy.deepcopy(proof)
+    bad.chip_proofs[0].log_degree += 1
+    expect_reject(m, config, bad)
+
+
+def test_debug_checker_localizes_bad_witness():
+    """Corrupt a single trace cell: the row checker should name the chip."""
+    from valida_tpu.air.check import check_constraints
+    from valida_tpu.air.lookup import generate_permutation_trace, cumulative_sum
+
+    m = MiniMachine([(1, 2), (3, 4)])
+    chip = m.chips()[0]
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32)
+    trace[0, 2] = (trace[0, 2] + 1) % bb.P  # break a + b == c
+    challenges = [(1, 2, 3, 4, 5), (6, 7, 8, 9, 10), (11, 12, 13, 14, 15)]
+    pt = generate_permutation_trace(m, chip, trace, challenges)
+    cs = cumulative_sum(pt)
+    with pytest.raises(AssertionError, match="sender"):
+        check_constraints(m, chip, trace, np.asarray(pt), challenges, cs)
