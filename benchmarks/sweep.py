@@ -1,0 +1,113 @@
+"""BASELINE workload sweeps (BASELINE.md "Workload configs").
+
+Runs on the default device.  Each config prints one JSON line; these are
+supplementary to the repo-root bench.py headline.
+
+  lde_merkle  — coset LDE (blowup 2) + full Merkle commit at 2^k rows,
+                keccak vs poseidon2 hashers (BASELINE: "LDE+Merkle sweep
+                2^22-2^24, Poseidon2 vs Keccak"; sizes here bounded by the
+                single dev chip's transport)
+  fib_prove   — end-to-end fib(25) BasicMachine prove wall-clock (numpy
+                host backend and, when warm, the jitted device prover)
+
+usage: python benchmarks/sweep.py [lde_merkle|fib_prove|all]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bench_lde_merkle(log_rows, cols, hasher, iters=3):
+    import jax
+    import jax.numpy as jnp
+    from valida_tpu.field import babybear as bb
+    from valida_tpu.poly import ntt as nttm
+    from valida_tpu.poly.ntt import bitrev_indices
+    from valida_tpu.crypto.merkle import get_hasher
+
+    h = get_hasher(hasher)
+    n = 1 << log_rows
+
+    def commit(mat):
+        m = bb.to_monty(mat)
+        lde = nttm.coset_lde(m, 1, bb.GENERATOR)
+        rows = bb.from_monty(lde[bitrev_indices(log_rows + 1)])
+        d = h.hash_words(rows)
+        while d.shape[0] > 1:
+            d = h.hash_words(jnp.concatenate([d[0::2], d[1::2]], axis=1))
+        return d[0]
+
+    f = jax.jit(commit)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, bb.P, size=(n, cols), dtype=np.uint32))
+    root = f(x)
+    _ = np.asarray(root)
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        root = f(x)
+    _ = np.asarray(root)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": "lde_merkle_commit",
+        "log_rows": log_rows,
+        "cols": cols,
+        "hasher": hasher,
+        "value": n / dt,
+        "unit": "rows/s",
+        "seconds": dt,
+    }
+
+
+def bench_fib_prove():
+    from valida_tpu import backend
+
+    backend.set_backend("numpy")
+    from valida_tpu.core.advice import FixedAdviceProvider
+    from valida_tpu.core.config import default_config
+    from valida_tpu.core.program import ProgramROM
+    from valida_tpu.machine.basic import BasicMachine
+    from tests.test_basic_machine import fib_program
+
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(fib_program()))
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    m.run(advice=FixedAdviceProvider.empty())
+    config = default_config(debug_checks=False)
+    t0 = time.perf_counter()
+    proof = m.prove(config)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m.verify(config, proof)
+    dv = time.perf_counter() - t0
+    return {
+        "metric": "fib25_prove_wallclock",
+        "backend": "numpy-host",
+        "queries": 40,
+        "value": dt,
+        "unit": "s",
+        "verify_s": dv,
+    }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = []
+    if which in ("lde_merkle", "all"):
+        for log_rows in (16, 18):
+            for hasher in ("keccak", "poseidon2"):
+                out.append(bench_lde_merkle(log_rows, 64, hasher))
+                print(json.dumps(out[-1]), flush=True)
+    if which in ("fib_prove", "all"):
+        out.append(bench_fib_prove())
+        print(json.dumps(out[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
