@@ -1,0 +1,104 @@
+"""Large-trace workload: full u32-ALU ISA loop at a target cycle count
+(BASELINE config: "alu_u32 full ISA trace ... 2^20 rows").
+
+Generates the trace with the C++ interpreter, proves on the selected
+backend, verifies, and prints one JSON line.
+
+usage: python benchmarks/big_trace.py [log2_cycles] [numpy|jax] [queries]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from valida_tpu.core import opcodes as OC
+from valida_tpu.core.config import default_config
+from valida_tpu.core.program import ProgramROM, InstructionWord, Operands
+from valida_tpu.machine.basic import BasicMachine
+
+
+def iw(opcode, a=0, b=0, c=0, d=0, e=0):
+    return InstructionWord(opcode, Operands((a, b, c, d, e)))
+
+
+def alu_loop_program(n_iters: int):
+    """~13 cycles per iteration across the whole ALU family."""
+    loop_start = 3 * 24
+    return [
+        iw(OC.IMM32, -4, 0, 0, 0, 0),      # counter
+        iw(OC.IMM32, -8, 0, 0, 0, 3),
+        iw(OC.IMM32, -12, 0, 1, 0, 1),     # 65537
+        # loop:
+        iw(OC.ADD32, -4, -4, 1, 0, 1),
+        iw(OC.MUL32, -16, -4, -12, 0, 0),
+        iw(OC.XOR32, -20, -16, -4, 0, 0),
+        iw(OC.AND32, -24, -16, -12, 0, 0),
+        iw(OC.OR32, -28, -20, -24, 0, 0),
+        iw(OC.SUB32, -32, -16, -4, 0, 0),
+        iw(OC.DIV32, -36, -16, -8, 0, 0),
+        iw(OC.SHL32, -40, -4, 3, 0, 1),
+        iw(OC.SHR32, -44, -16, 2, 0, 1),
+        iw(OC.LT32, -48, -4, n_iters, 0, 1),
+        iw(OC.EQ32, -52, -4, -8, 0, 0),
+        iw(OC.SLE32, -56, -32, -16, 0, 0),
+        iw(OC.BNE, loop_start, -48, 0, 0, 1),
+        iw(OC.STOP),
+    ]
+
+
+def main():
+    log2_cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 17
+    backend_name = sys.argv[2] if len(sys.argv) > 2 else "numpy"
+    queries = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+    n_iters = (1 << log2_cycles) // 14
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(alu_loop_program(n_iters)))
+    m.cpu().fp = 0x1000000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+
+    t0 = time.perf_counter()
+    m.run_native()
+    t_run = time.perf_counter() - t0
+
+    from valida_tpu import backend
+
+    backend.set_backend(backend_name)
+    config = default_config(num_queries=queries, debug_checks=False)
+
+    t0 = time.perf_counter()
+    if backend_name == "jax":
+        from valida_tpu.machine.jit_prover import prove_jit
+
+        proof = prove_jit(m, config)
+    else:
+        proof = m.prove(config)
+    t_prove = time.perf_counter() - t0
+
+    backend.set_backend("numpy")
+    t0 = time.perf_counter()
+    m.verify(config, proof)
+    t_verify = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "alu_isa_trace_prove",
+                "cycles": m.cpu().clock,
+                "backend": backend_name,
+                "queries": queries,
+                "run_s": t_run,
+                "value": t_prove,
+                "unit": "s",
+                "verify_s": t_verify,
+                "cycles_per_s": m.cpu().clock / t_prove,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

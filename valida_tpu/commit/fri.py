@@ -136,49 +136,51 @@ def grind_device(challenger, bits: int) -> int:
     pending = list(challenger.input_buffer)
     k = len(pending)
     assert k + 1 < poseidon.WIDTH, "input buffer overflow during grind"
-    batch = 1 << 14
     mask = (1 << bits) - 1
-    state0 = np.tile(base_state, (batch, 1))
-    for i, v in enumerate(pending):
-        state0[:, i] = v
+    use_jax = get_backend() == "jax"
+    jit_cache = {}
 
-    if get_backend() == "jax":
-        state0_m = bb.to_monty(jnp.asarray(state0))
+    def attempt_host(start, batch):
+        state0 = np.tile(base_state, (batch, 1))
+        for i, v in enumerate(pending):
+            state0[:, i] = v
+        if use_jax:
+            if batch not in jit_cache:
+                @jax.jit
+                def attempt(state0_m, start):
+                    cand = start + jnp.arange(batch, dtype=jnp.uint32)
+                    st = state0_m.at[:, k].set(bb.to_monty(cand))
+                    out = poseidon.permute_device(st)
+                    last = bb.from_monty(out[:, poseidon.WIDTH - 1])
+                    ok = (last & jnp.uint32(mask)) == 0
+                    idx = jnp.argmax(ok)
+                    return jnp.where(jnp.any(ok), cand[idx],
+                                     jnp.uint32(0xFFFFFFFF))
 
-        @jax.jit
-        def attempt(start):
-            cand = start + jnp.arange(batch, dtype=jnp.uint32)
-            st = state0_m.at[:, k].set(bb.to_monty(cand))
-            out = poseidon.permute_device(st)
-            last = bb.from_monty(out[:, poseidon.WIDTH - 1])
-            ok = (last & jnp.uint32(mask)) == 0
-            idx = jnp.argmax(ok)
-            return jnp.where(jnp.any(ok), cand[idx], jnp.uint32(0xFFFFFFFF))
+                jit_cache[batch] = attempt
+            state0_m = bb.to_monty(jnp.asarray(state0))
+            return int(jit_cache[batch](state0_m, jnp.uint32(start)))
+        st = bb.to_monty(state0)
+        cand = (start + np.arange(batch, dtype=np.uint64)).astype(np.uint32)
+        st[:, k] = bb.to_monty(cand)
+        out = poseidon.permute_device(st)
+        last = bb.from_monty(out[:, poseidon.WIDTH - 1])
+        ok = (last & np.uint32(mask)) == 0
+        if not ok.any():
+            return 0xFFFFFFFF
+        return int(cand[np.argmax(ok)])
 
-        def attempt_host(start):
-            return int(attempt(jnp.uint32(start)))
-    else:
-        state0_m_np = bb.to_monty(state0)
-
-        def attempt_host(start):
-            cand = (start + np.arange(batch, dtype=np.uint64)).astype(np.uint32)
-            st = state0_m_np.copy()
-            st[:, k] = bb.to_monty(cand)
-            out = poseidon.permute_device(st)
-            last = bb.from_monty(out[:, poseidon.WIDTH - 1])
-            ok = (last & np.uint32(mask)) == 0
-            if not ok.any():
-                return 0xFFFFFFFF
-            return int(cand[np.argmax(ok)])
-
+    # expected ~2^bits candidates: start small and grow the batch
     start = 0
+    batch = max(64, min(1 << 14, 4 << bits))
     while start < (1 << 32):
-        w = attempt_host(start)
+        w = attempt_host(start, batch)
         if w != 0xFFFFFFFF:
             challenger.observe(w)
             assert challenger.sample_bits(bits) == 0
             return w
         start += batch
+        batch = min(batch * 2, 1 << 16)
     raise RuntimeError("grind failed")
 
 
