@@ -303,7 +303,16 @@ class VectorBuilder(BaseBuilder):
         self.collected.append(e)
 
     def fold(self):
-        """sum_i c_i * alpha^(K-1-i) over collected constraints (ext)."""
+        """sum_i c_i * alpha^(K-1-i) over collected constraints.
+
+        Base-field constraints (the vast majority — all chip constraints)
+        are stacked into one [K_base, Q] array and contracted against
+        their alpha powers with 5 fused modular reductions; extension
+        constraints (permutation AIR) combine individually.  Equal in
+        value to the reference's Horner accumulation.
+        """
+        from ..poly.ntt import _mod_sum
+
         k = len(self.collected)
         if k == 0:
             self.accumulator = None
@@ -323,18 +332,40 @@ class VectorBuilder(BaseBuilder):
             )
             cur = extf.ext_mul(cur, cur)
             length *= 2
-        terms = [
-            VVal(self.collected[i]._as_ext(), True) * VVal(arr[k - 1 - i], True)
-            for i in range(k)
-        ]
-        while len(terms) > 1:
-            nxt = []
-            for j in range(0, len(terms) - 1, 2):
-                nxt.append(terms[j] + terms[j + 1])
-            if len(terms) % 2:
-                nxt.append(terms[-1])
-            terms = nxt
-        self.accumulator = VVal(terms[0]._as_ext(), True)
+
+        base_idx = [i for i, c in enumerate(self.collected) if not c.is_ext]
+        ext_idx = [i for i, c in enumerate(self.collected) if c.is_ext]
+
+        partials = []
+        if base_idx:
+            # broadcast scalars (filtered constants etc.) to a common shape
+            shapes = [
+                self.collected[i].arr.shape
+                for i in base_idx
+                if getattr(self.collected[i].arr, "ndim", 0)
+            ]
+            shape = shapes[0] if shapes else ()
+            stack = xp.stack(
+                [
+                    xp.broadcast_to(xp.asarray(self.collected[i].arr), shape)
+                    for i in base_idx
+                ],
+                axis=0,
+            )  # [K_base, Q]
+            apows = arr[[k - 1 - i for i in base_idx]]  # [K_base, 5]
+            comps = [
+                _mod_sum(bb.mul(stack, apows[:, d][:, None]), axis=0)
+                for d in range(5)
+            ]
+            partials.append(VVal(xp.stack(comps, axis=-1), True))
+        for i in ext_idx:
+            partials.append(
+                VVal(self.collected[i]._as_ext(), True) * VVal(arr[k - 1 - i], True)
+            )
+        acc = partials[0]
+        for t in partials[1:]:
+            acc = acc + t
+        self.accumulator = VVal(acc._as_ext(), True)
         return self.accumulator
 
 
