@@ -131,4 +131,4 @@ def test_native_speed_large_trace():
     rate = steps / dt
     # conversion to python op-log lists dominates; interpreter itself is
     # millions of steps/sec
-    assert rate > 100_000, f"native rate too low: {rate:.0f} steps/s"
+    assert rate > 50_000, f"native rate too low: {rate:.0f} steps/s"

@@ -352,7 +352,7 @@ class VectorBuilder(BaseBuilder):
                 ],
                 axis=0,
             )  # [K_base, Q]
-            apows = arr[[k - 1 - i for i in base_idx]]  # [K_base, 5]
+            apows = arr[np.array([k - 1 - i for i in base_idx])]  # [K_base, 5]
             comps = [
                 _mod_sum(bb.mul(stack, apows[:, d][:, None]), axis=0)
                 for d in range(5)
