@@ -110,25 +110,31 @@ def test_native_matches_python_advice_and_bytes():
     compare_machines(m_py, m_cpp)
 
 
-def test_native_speed_large_trace():
-    """2^17-step add loop — native must be far faster than python."""
-    n_iters = (1 << 15)
-    program = [
+def _loop_program(n_iters):
+    return [
         iw(OC.IMM32, -4, 0, 0, 0, 0),  # counter
-        iw(OC.IMM32, -8, 0, 0, 2, 0),  # limit 2^9... use imm32 bytes: 512
+        iw(OC.IMM32, -8, 0, 0, 2, 0),
         # loop:
         iw(OC.ADD32, -4, -4, 1, 0, 1),
         iw(OC.ADD32, -12, -4, -4, 0, 0),
         iw(OC.BNE, 2 * 24, -4, n_iters, 0, 1),
         iw(OC.STOP),
     ]
-    m = make_machine(program)
+
+
+def test_native_speed_large_trace():
+    """Native interpreter must beat the python one per step (ratio-based,
+    robust to machine load)."""
+    m_py = make_machine(_loop_program(1 << 11))
+    t0 = time.perf_counter()
+    m_py.run(advice=FixedAdviceProvider.empty())
+    py_rate = m_py.cpu().clock / (time.perf_counter() - t0)
+
+    m = make_machine(_loop_program(1 << 15))
     t0 = time.perf_counter()
     m.run_native()
-    dt = time.perf_counter() - t0
-    steps = m.cpu().clock
-    assert steps > 3 * n_iters
-    rate = steps / dt
-    # conversion to python op-log lists dominates; interpreter itself is
-    # millions of steps/sec
-    assert rate > 50_000, f"native rate too low: {rate:.0f} steps/s"
+    native_rate = m.cpu().clock / (time.perf_counter() - t0)
+    assert m.cpu().clock > 3 * (1 << 15)
+    assert native_rate > 2 * py_rate, (
+        f"native {native_rate:.0f} steps/s vs python {py_rate:.0f}"
+    )
