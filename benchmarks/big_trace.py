@@ -61,7 +61,7 @@ def main():
     m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
 
     t0 = time.perf_counter()
-    m.run_native()
+    m.run_native(build_lists=False)
     t_run = time.perf_counter() - t0
 
     from valida_tpu import backend

@@ -132,9 +132,21 @@ def test_native_speed_large_trace():
 
     m = make_machine(_loop_program(1 << 15))
     t0 = time.perf_counter()
-    m.run_native()
+    m.run_native(build_lists=False)  # zero-copy array mode
     native_rate = m.cpu().clock / (time.perf_counter() - t0)
     assert m.cpu().clock > 3 * (1 << 15)
     assert native_rate > 2 * py_rate, (
         f"native {native_rate:.0f} steps/s vs python {py_rate:.0f}"
     )
+
+
+def test_zero_copy_mode_traces_match():
+    """build_lists=False must produce identical traces to list mode."""
+    m_l = make_machine(ALU_PROGRAM)
+    m_l.run_native(build_lists=True)
+    m_a = make_machine(ALU_PROGRAM)
+    m_a.run_native(build_lists=False)
+    for chip_l, chip_a in zip(m_l.chips(), m_a.chips()):
+        tl = np.asarray(chip_l.generate_trace(m_l))
+        ta = np.asarray(chip_a.generate_trace(m_a))
+        np.testing.assert_array_equal(tl, ta, err_msg=chip_l.name)

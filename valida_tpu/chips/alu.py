@@ -69,7 +69,13 @@ def _word_cols(rows, i, cols, value):
 
 
 def _ops_to_arrays(operations, kinds=None):
-    """List of (kind?, a, b, c) tuples -> (kind u32[n], a, b, c u32[n])."""
+    """List of (kind?, a, b, c) tuples -> (kind u32[n], a, b, c u32[n]).
+
+    `operations` may already be an array 4-tuple (native zero-copy path)."""
+    if isinstance(operations, tuple) and len(operations) == 4 and not (
+        operations and isinstance(operations[0], tuple)
+    ):
+        return operations
     n = len(operations)
     if n and len(operations[0]) == 4:
         kind_map = {k: i for i, k in enumerate(kinds)}

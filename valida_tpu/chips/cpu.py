@@ -73,6 +73,9 @@ class CpuChip(Chip):
         self.registers: list[tuple[int, int]] = []  # (pc, fp) snapshots
         self.operations: list[tuple] = []  # (kind, imm or None)
         self.instructions: list[InstructionWord] = []
+        # native zero-copy path: (kinds u8[n], has_imm u8[n], imm u32[n],
+        # opcode u32[n], operands i32[n,5], pre_pc u64[n], pre_fp u64[n])
+        self.ops_arrays = None
 
     # -- execution-side plumbing (cpu/src/lib.rs:883-923) -------------------
 
@@ -103,7 +106,8 @@ class CpuChip(Chip):
         """Vectorized (numpy) trace construction from the op log —
         data-oriented per SURVEY.md §7; semantics identical to the
         reference's row loop (cpu/src/lib.rs:80-354)."""
-        n = len(self.operations)
+        n = (len(self.ops_arrays[0]) if self.ops_arrays is not None
+             else len(self.operations))
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
         rows = np.zeros((n2, NUM_CPU_COLS), dtype=np.uint32)
         if n == 0:
@@ -120,23 +124,35 @@ class CpuChip(Chip):
              IS_JALV, IS_BEQ, IS_BNE, IS_IMM32, IS_ADVICE, IS_STOP, IS_LOADFP,
              IS_BUS_OP, IS_BUS_OP, IS_BUS_OP], dtype=np.int64)
 
-        kinds = np.fromiter(
-            (kind_code[k] for k, _ in self.operations), dtype=np.int64, count=n
-        )
-        has_imm = np.fromiter(
-            (im is not None for _, im in self.operations), dtype=bool, count=n
-        )
-        imm = np.fromiter(
-            ((im if im is not None else 0) for _, im in self.operations),
-            dtype=np.uint32, count=n,
-        )
-        opcode = np.fromiter(
-            (iw.opcode for iw in self.instructions), dtype=np.uint32, count=n
-        )
-        operands = np.array(
-            [iw.operands.ops for iw in self.instructions], dtype=np.int64
-        )
-        regs = np.array(self.registers[:n], dtype=np.uint64)
+        if self.ops_arrays is not None:
+            kinds_a, has_imm_a, imm, opcode, operands, pre_pc, pre_fp = (
+                self.ops_arrays
+            )
+            kinds = kinds_a.astype(np.int64)
+            has_imm = has_imm_a.astype(bool)
+            operands = operands.astype(np.int64)
+            regs = np.stack([pre_pc, pre_fp], axis=1).astype(np.uint64)
+        else:
+            kinds = np.fromiter(
+                (kind_code[k] for k, _ in self.operations), dtype=np.int64,
+                count=n,
+            )
+            has_imm = np.fromiter(
+                (im is not None for _, im in self.operations), dtype=bool,
+                count=n,
+            )
+            imm = np.fromiter(
+                ((im if im is not None else 0) for _, im in self.operations),
+                dtype=np.uint32, count=n,
+            )
+            opcode = np.fromiter(
+                (iw.opcode for iw in self.instructions), dtype=np.uint32,
+                count=n,
+            )
+            operands = np.array(
+                [iw.operands.ops for iw in self.instructions], dtype=np.int64
+            )
+            regs = np.array(self.registers[:n], dtype=np.uint64)
 
         clk_idx = np.arange(n)
         rows[:n, CLK] = clk_idx.astype(np.uint32)
@@ -158,19 +174,26 @@ class CpuChip(Chip):
 
         # -- memory channel routing (cpu/src/lib.rs:244-283) ---------------
         mem = machine.mem()
-        mclk_l, mw_l, maddr_l, mval_l = [], [], [], []
-        for ck in sorted(mem.operations):
-            for op_kind, addr, value in mem.operations[ck]:
-                mclk_l.append(ck)
-                mw_l.append(op_kind == "w")
-                maddr_l.append(addr)
-                mval_l.append(value)
-        m = len(mclk_l)
-        if m:
+        if mem.ops_arrays is not None:
+            mclk, mwrite, maddr, mvalue = mem.ops_arrays
+            mclk = mclk.astype(np.int64)
+            mwrite = mwrite.astype(bool)
+            maddr = maddr.astype(np.int64)
+            m = len(mclk)
+        else:
+            mclk_l, mw_l, maddr_l, mval_l = [], [], [], []
+            for ck in sorted(mem.operations):
+                for op_kind, addr, value in mem.operations[ck]:
+                    mclk_l.append(ck)
+                    mw_l.append(op_kind == "w")
+                    maddr_l.append(addr)
+                    mval_l.append(value)
+            m = len(mclk_l)
             mclk = np.array(mclk_l, dtype=np.int64)
             mwrite = np.array(mw_l, dtype=bool)
             maddr = np.array(maddr_l, dtype=np.int64)
             mvalue = np.array(mval_l, dtype=np.uint32)
+        if m:
             # rank of each read within its clk group (groups are contiguous)
             group_start = np.searchsorted(mclk, mclk, side="left")
             read_mask = ~mwrite

@@ -59,6 +59,9 @@ class MemoryChip(Chip):
         self.cells: dict[int, int] = {}
         self.operations: dict[int, list] = {}  # clk -> [(kind, addr, value)]
         self.static_data: dict[int, int] = {}
+        # native zero-copy path: (clk u32[n], is_write u8[n], addr u32[n],
+        # value u32[n]) in execution order
+        self.ops_arrays = None
 
     # -- execution side (memory/src/lib.rs:85-136) --------------------------
 
@@ -103,9 +106,17 @@ class MemoryChip(Chip):
         kind: 0 = dummy, 1 = read, 2 = write, 3 = static initial write.
         """
         rows = [(0, 3, addr, val) for addr, val in self.static_data.items()]
-        for ck in self.operations:
-            for kind, addr, value in self.operations[ck]:
-                rows.append((ck, 1 if kind == "r" else 2, addr, value))
+        if self.ops_arrays is not None:
+            mclk, mwrite, maddr, mvalue = self.ops_arrays
+            kind_arr = np.where(mwrite.astype(bool), 2, 1)
+            rows += list(
+                zip(mclk.tolist(), kind_arr.tolist(), maddr.tolist(),
+                    mvalue.tolist())
+            )
+        else:
+            for ck in self.operations:
+                for kind, addr, value in self.operations[ck]:
+                    rows.append((ck, 1 if kind == "r" else 2, addr, value))
         # sort by (addr, clk, static-first)
         rows.sort(key=lambda t: (t[2], t[0], 0 if t[1] == 3 else 1))
         if not rows:

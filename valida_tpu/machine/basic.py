@@ -165,8 +165,11 @@ class BasicMachine(Machine):
         self._program.read_word(pc)
         return DID_STOP if iw.opcode == OC.STOP else DID_NOT_STOP
 
-    def run_native(self, advice_bytes: bytes = b""):
-        """Execute with the C++ interpreter core (falls back to python)."""
+    def run_native(self, advice_bytes: bytes = b"", build_lists: bool = True):
+        """Execute with the C++ interpreter core (falls back to python).
+
+        build_lists=False hands op logs to the chips as numpy arrays
+        (zero-copy fast path for large traces)."""
         from ..native import available, run_native
 
         if not available():
@@ -176,7 +179,7 @@ class BasicMachine(Machine):
         self._advice_bytes = advice_bytes
         if not self.cpu().registers:
             self.cpu().registers.append((self.cpu().pc, self.cpu().fp))
-        run_native(self)
+        run_native(self, build_lists=build_lists)
 
     def run(self, program: ProgramROM | None = None,
             advice: AdviceProvider | None = None):

@@ -84,9 +84,15 @@ class NativeRunError(RuntimeError):
     pass
 
 
-def run_native(machine, max_steps: int = 1 << 32) -> None:
+def run_native(machine, max_steps: int = 1 << 32,
+               build_lists: bool = True) -> None:
     """Execute `machine`'s loaded program with the C++ core and populate its
-    chip state (op logs, memory cells, counts, outputs)."""
+    chip state (op logs, memory cells, counts, outputs).
+
+    build_lists=False is the zero-copy fast path: op logs are handed to the
+    chips as numpy arrays (chip.ops_arrays / tuple-of-arrays operations)
+    and the python-tuple logs are skipped — trace generation consumes the
+    arrays directly."""
     from ..core.program import Operands, InstructionWord
 
     lib = _load()
@@ -129,24 +135,29 @@ def run_native(machine, max_steps: int = 1 << 32) -> None:
         fps = np.zeros(n, dtype=np.uint32)
         lib.vm_copy_cpu_ops(vmp, _ptr(kind), _ptr(has_imm), _ptr(imm),
                             _ptr(opcode), _ptr(operands), _ptr(pcs), _ptr(fps))
-        kind_l = kind.tolist()
-        has_imm_l = has_imm.tolist()
-        imm_l = imm.tolist()
-        cpu.operations = [
-            (_CPU_KINDS[k], im if h else None)
-            for k, h, im in zip(kind_l, has_imm_l, imm_l)
-        ]
-        ops_l = operands.tolist()
-        cpu.instructions = [
-            InstructionWord(oc, Operands(tuple(o)))
-            for oc, o in zip(opcode.tolist(), ops_l)
-        ]
-        # registers: [initial] + post-states (cpu.registers may already hold
-        # the initial snapshot)
-        posts = list(zip(pcs.tolist(), fps.tolist()))
-        if not cpu.registers:
-            cpu.registers = [(pc0, fp0)]
-        cpu.registers = cpu.registers[:1] + posts
+        # pre-execution register state per op = [initial] + posts[:-1]
+        pre_pc = np.concatenate([[pc0], pcs[:-1].astype(np.uint64)]) if n else np.zeros(0, dtype=np.uint64)
+        pre_fp = np.concatenate([[fp0], fps[:-1].astype(np.uint64)]) if n else np.zeros(0, dtype=np.uint64)
+        if build_lists:
+            kind_l = kind.tolist()
+            has_imm_l = has_imm.tolist()
+            imm_l = imm.tolist()
+            cpu.operations = [
+                (_CPU_KINDS[k], im if h else None)
+                for k, h, im in zip(kind_l, has_imm_l, imm_l)
+            ]
+            ops_l = operands.tolist()
+            cpu.instructions = [
+                InstructionWord(oc, Operands(tuple(o)))
+                for oc, o in zip(opcode.tolist(), ops_l)
+            ]
+            posts = list(zip(pcs.tolist(), fps.tolist()))
+            if not cpu.registers:
+                cpu.registers = [(pc0, fp0)]
+            cpu.registers = cpu.registers[:1] + posts
+        else:
+            cpu.ops_arrays = (kind, has_imm, imm, opcode, operands,
+                              pre_pc, pre_fp)
         cpu.clock = clock
         cpu.pc = int(lib.vm_pc(vmp))
         cpu.fp = int(lib.vm_fp(vmp))
@@ -159,11 +170,14 @@ def run_native(machine, max_steps: int = 1 << 32) -> None:
         value = np.zeros(n, dtype=np.uint32)
         lib.vm_copy_mem_ops(vmp, _ptr(clk), _ptr(is_write), _ptr(addr),
                             _ptr(value))
-        mem_ops: dict[int, list] = {}
-        for ck, w, ad, vl in zip(clk.tolist(), is_write.tolist(),
-                                 addr.tolist(), value.tolist()):
-            mem_ops.setdefault(ck, []).append(("w" if w else "r", ad, vl))
-        machine.mem().operations = mem_ops
+        if build_lists:
+            mem_ops: dict[int, list] = {}
+            for ck, w, ad, vl in zip(clk.tolist(), is_write.tolist(),
+                                     addr.tolist(), value.tolist()):
+                mem_ops.setdefault(ck, []).append(("w" if w else "r", ad, vl))
+            machine.mem().operations = mem_ops
+        else:
+            machine.mem().ops_arrays = (clk, is_write, addr, value)
 
         n = int(lib.vm_num_cells(vmp))
         addrs = np.zeros(n, dtype=np.uint32)
@@ -180,6 +194,8 @@ def run_native(machine, max_steps: int = 1 << 32) -> None:
             c = np.zeros(cnt, dtype=np.uint32)
             getattr(lib, f"vm_copy_{name}")(vmp, _ptr(k), _ptr(a), _ptr(b),
                                             _ptr(c))
+            if not build_lists:
+                return (k, a, b, c)
             kinds = _ALU_KINDS[name]
             if kinds == [None]:
                 return list(zip(a.tolist(), b.tolist(), c.tolist()))
