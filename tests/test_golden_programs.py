@@ -115,6 +115,69 @@ def test_prove_static_data():
     assert m.cpu().clock == 4
 
 
+def test_prove_storeu8_fresh_address():
+    """STOREU8 into a never-written cell, proved with the (enabled) memory
+    argument: the read-modify-write merge read is an unlogged host-side
+    peek (the reference's 3-reads-on-3-channels op can never be bus
+    balanced; docs/deviations.md)."""
+    program = [
+        iw(OC.IMM32, -4, 0, 0, 0, 0x41),   # LSB 0x41 -> byte address fp-4
+        iw(OC.IMM32, -8, 0, 2, 0, 1),      # target byte address 0x20001
+        iw(OC.STOREU8, 0, -8, -4, 0, 0),
+        iw(OC.LOADU8, -12, 0, -8, 0, 0),   # read it back
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    cells = m.mem().cells
+    # update_byte keeps the reference's byte-swap quirk (core.rs:48-57):
+    # byte addr 0x20001 lands in BE slot 2 of the swapped word
+    assert cells[0x20000] == 0x4100
+    assert cells[0x1000 - 12] == 0x41
+
+
+def test_prove_signed_alu():
+    """Beyond the reference: full signed-ALU coverage — SDIV32 on every
+    sign combination (incl. the i32::MIN / -1 wrap), SRA32 on negative odd
+    values (where arithmetic shift and truncating sdiv differ — the
+    reference's SRA->SDIV32 delegation is inconsistent there, see
+    docs/deviations.md), and MULHS32/MULHU32 with nontrivial high words
+    (reference AIR leaves both TODO, mul/stark.rs:24, div/stark.rs:18)."""
+    program = [
+        iw(OC.IMM32, -4, 0, 0, 0, 100),
+        iw(OC.IMM32, -8, 255, 255, 255, 156),    # -100
+        iw(OC.IMM32, -12, 0, 0, 0, 7),
+        iw(OC.IMM32, -16, 255, 255, 255, 249),   # -7
+        iw(OC.SDIV32, -20, -8, -12, 0, 0),       # -100 /  7 = -14
+        iw(OC.SDIV32, -24, -8, -16, 0, 0),       # -100 / -7 =  14
+        iw(OC.SDIV32, -28, -4, -16, 0, 0),       #  100 / -7 = -14
+        iw(OC.SDIV32, -32, -4, -12, 0, 0),       #  100 /  7 =  14
+        iw(OC.IMM32, -36, 128, 0, 0, 0),         # i32::MIN
+        iw(OC.IMM32, -40, 255, 255, 255, 255),   # -1
+        iw(OC.SDIV32, -44, -36, -40, 0, 0),      # MIN / -1 wraps to MIN
+        iw(OC.SRA32, -48, -8, 1, 0, 1),          # -100 >> 1 = -50
+        iw(OC.IMM32, -52, 255, 255, 255, 251),   # -5
+        iw(OC.SRA32, -56, -52, 1, 0, 1),         # -5 >> 1 = -3 (floor)
+        iw(OC.SRA32, -60, -52, 31, 0, 1),        # -1
+        iw(OC.MULHS32, -64, -8, -12, 0, 0),      # hi(-100 *  7) = -1
+        iw(OC.MULHS32, -68, -8, -16, 0, 0),      # hi(-100 * -7) =  0
+        iw(OC.IMM32, -72, 222, 173, 190, 239),   # 0xDEADBEEF
+        iw(OC.MULHU32, -76, -72, -72, 0, 0),     # 0xC1B1CD12
+        iw(OC.MULHS32, -80, -72, -72, 0, 0),     # 0x04564F34
+        iw(OC.MULHU32, -84, -8, -12, 0, 0),      # hi(0xFFFFFF9C * 7) = 6
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    cells = m.mem().cells
+    expect = {
+        -20: 4294967282, -24: 14, -28: 4294967282, -32: 14,
+        -44: 0x80000000, -48: 4294967246, -56: 4294967293,
+        -60: 4294967295, -64: 4294967295, -68: 0,
+        -76: 0xC1B1CD12, -80: 0x04564F34, -84: 6,
+    }
+    for off, want in expect.items():
+        assert cells[0x1000 + off] == want, f"offset {off}"
+
+
 def test_prove_alu_mix():
     """Beyond the reference: exercise mul/div/shift/bitwise/com chips with
     cross-chip delegation in one proved program."""

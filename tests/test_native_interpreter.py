@@ -79,6 +79,17 @@ ALU_PROGRAM = [
     iw(OC.LT32, -72, 3, -8, 1, 0),
     iw(OC.LOADFP, -76, 5, 0, 0, 0),
     iw(OC.SDIV32, -80, -4, -8, 0, 0),
+    # negative operands: exercise the signed side-effect branches
+    # (Sub32 negation rows, complemented SRA delegation, mulh carries)
+    iw(OC.IMM32, -84, 255, 255, 255, 156),   # -100
+    iw(OC.IMM32, -88, 255, 255, 255, 249),   # -7
+    iw(OC.SDIV32, -92, -84, -8, 0, 0),       # -100 /  7
+    iw(OC.SDIV32, -96, -84, -88, 0, 0),      # -100 / -7
+    iw(OC.SDIV32, -100, -4, -88, 0, 0),      #  100 / -7
+    iw(OC.SRA32, -104, -84, 3, 0, 1),        # negative sra (floor)
+    iw(OC.MULHS32, -108, -84, -8, 0, 0),
+    iw(OC.MULHS32, -112, -84, -88, 0, 0),
+    iw(OC.MULHU32, -116, -84, -88, 0, 0),
     iw(OC.WRITE, 0, -8, 0, 0, 1),
     iw(OC.STOP),
 ]

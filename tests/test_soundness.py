@@ -165,3 +165,85 @@ def test_debug_checker_localizes_bad_witness():
     cs = cumulative_sum(pt)
     with pytest.raises(AssertionError, match="sender"):
         check_constraints(m, chip, trace, np.asarray(pt), challenges, cs)
+
+
+# ---------------------------------------------------------------------------
+# Signed-ALU witness soundness: the new SDIV/MULHS row constraints must
+# reject a corrupted witness (the reference's AIRs are stubs here, so
+# these guard capabilities beyond it)
+# ---------------------------------------------------------------------------
+
+
+def _signed_alu_machine():
+    from valida_tpu.core import opcodes as OC
+    from valida_tpu.core.advice import FixedAdviceProvider
+    from valida_tpu.core.program import ProgramROM, InstructionWord, Operands
+    from valida_tpu.machine.basic import BasicMachine
+
+    def iw(opcode, a=0, b=0, c=0, d=0, e=0):
+        return InstructionWord(opcode, Operands((a, b, c, d, e)))
+
+    program = [
+        iw(OC.IMM32, -4, 255, 255, 255, 156),   # -100
+        iw(OC.IMM32, -8, 0, 0, 0, 7),
+        iw(OC.SDIV32, -12, -4, -8, 0, 0),       # -100 / 7 = -14
+        iw(OC.MULHS32, -16, -4, -8, 0, 0),      # hi(-100 * 7) = -1
+        iw(OC.STOP),
+    ]
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(program))
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    m.run(advice=FixedAdviceProvider.empty())
+    return m
+
+
+def _expect_row_violation(m, chip, trace):
+    from valida_tpu.air.check import check_constraints
+    from valida_tpu.air.lookup import generate_permutation_trace, cumulative_sum
+
+    challenges = [(1, 2, 3, 4, 5), (6, 7, 8, 9, 10), (11, 12, 13, 14, 15)]
+    pt = generate_permutation_trace(m, chip, trace, challenges)
+    cs = cumulative_sum(pt)
+    with pytest.raises(AssertionError):
+        check_constraints(m, chip, trace, np.asarray(pt), challenges, cs)
+
+
+def test_debug_checker_catches_bad_sdiv_quotient():
+    from valida_tpu.chips.alu import SDIV_NA
+
+    m = _signed_alu_machine()
+    chip = m.div_u32()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    trace[0, SDIV_NA[3]] = (trace[0, SDIV_NA[3]] + 1) % 256  # |q| off by one
+    _expect_row_violation(m, chip, trace)
+
+
+def test_debug_checker_catches_bad_sdiv_sign():
+    from valida_tpu.chips.alu import SDIV_SDIFF
+
+    m = _signed_alu_machine()
+    chip = m.div_u32()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    trace[0, SDIV_SDIFF] ^= 1  # flip the claimed sign of the quotient
+    _expect_row_violation(m, chip, trace)
+
+
+def test_debug_checker_catches_bad_mulhs_result():
+    from valida_tpu.chips.alu import MUL_OUT
+
+    m = _signed_alu_machine()
+    chip = m.mul_u32()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    trace[0, MUL_OUT[3]] = (trace[0, MUL_OUT[3]] + 1) % 256
+    _expect_row_violation(m, chip, trace)
+
+
+def test_debug_checker_catches_bad_mulh_high_word():
+    from valida_tpu.chips.alu import MUL_HIU
+
+    m = _signed_alu_machine()
+    chip = m.mul_u32()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    trace[0, MUL_HIU[2]] = (trace[0, MUL_HIU[2]] + 1) % 256
+    _expect_row_violation(m, chip, trace)

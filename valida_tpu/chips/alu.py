@@ -189,7 +189,11 @@ def ex_add32(m, ops):
 _s = IndexAllocator()
 SUB_IN1 = _s.word()
 SUB_IN2 = _s.word()
-SUB_BORROW = _s.array(3)
+# the reference has 3 borrow columns and no wrap term on the top byte
+# (sub/stark.rs:44-46), which makes any underflowing u32 subtraction
+# unprovable; the 4th borrow is the dropped mod-2^32 wrap (intended
+# design, docs/deviations.md)
+SUB_BORROW = _s.array(4)
 SUB_OUT = _s.word()
 SUB_IS_REAL = _s.scalar()
 NUM_SUB_COLS = _s.width
@@ -215,7 +219,7 @@ class Sub32Chip(Chip):
         _byte_cols(rows, sl, SUB_OUT, a)
         bb_, cb = _bytes_of(b), _bytes_of(c)
         borrow = np.zeros(n, dtype=np.int64)
-        for k, col in zip([3, 2, 1], SUB_BORROW):
+        for k, col in zip([3, 2, 1, 0], SUB_BORROW):
             borrow = (bb_[:, k] - borrow < cb[:, k]).astype(np.int64)
             rows[sl, col] = borrow
         rows[sl, SUB_IS_REAL] = 1
@@ -247,7 +251,7 @@ class Sub32Chip(Chip):
         b.assert_eq(local[SUB_OUT[1]],
                     base * bw[2] + local[SUB_IN1[1]] - local[SUB_IN2[1]] - bw[1])
         b.assert_eq(local[SUB_OUT[0]],
-                    local[SUB_IN1[0]] - local[SUB_IN2[0]] - bw[2])
+                    base * bw[3] + local[SUB_IN1[0]] - local[SUB_IN2[0]] - bw[2])
         for x in bw:
             b.assert_bool(x)
 
@@ -273,6 +277,19 @@ MUL_IS_MUL = _m.scalar()
 MUL_IS_MULHS = _m.scalar()
 MUL_IS_MULHU = _m.scalar()
 MUL_COUNTER = _m.scalar()
+# -- high-word (MULHU/MULHS) witness: full 64-bit product carry chain --
+# (the reference leaves mulhs/mulhu constraints TODO, mul/stark.rs:24;
+# we prove in1*in2 = HIU*2^32 + LOW exactly over the integers with an
+# 8-limb chain, then for MULHS apply the two's-complement adjustment
+# hi_s = hi_u - sign(in1)*in2 - sign(in2)*in1  (mod 2^32) limb-wise)
+MUL_LOW = _m.word()            # low word of the 64-bit product
+MUL_HIU = _m.word()            # unsigned high word
+MUL_TL = _m.array(7)           # chain carries t_k = TL + 256*(TH0 + 2*TH1)
+MUL_TH0 = _m.array(7)          # (t_k <= 1019)
+MUL_TH1 = _m.array(7)
+MUL_U = _m.array(4)            # mulhs borrow chain, each in {0,1,2}
+MUL_SA_BITS = _m.array(8)      # bits of in1's top byte (sign = bit 7)
+MUL_SB_BITS = _m.array(8)      # bits of in2's top byte
 NUM_MUL_COLS = _m.width
 
 MUL_MIN_LENGTH = 1 << 10
@@ -315,6 +332,47 @@ class Mul32Chip(Chip):
         rows[sl, MUL_R] = np.where(is_mul, ((pi - sigma) // 2) % bb.P, 0).astype(np.uint32)
         rows[sl, MUL_S] = np.where(is_mul, ((pi_p - sigma_p) // (1 << 16)) % bb.P, 0).astype(np.uint32)
         rows[:, MUL_COUNTER] = np.arange(1, n2 + 1, dtype=np.uint32)
+        # high-word witnesses for mulhs/mulhu rows
+        is_mulh = kinds >= 1
+        if is_mulh.any():
+            p64 = b.astype(np.uint64) * c.astype(np.uint64)
+            lo = np.where(is_mulh, (p64 & np.uint64(MASK32)).astype(np.int64), 0)
+            hiu = np.where(is_mulh, (p64 >> np.uint64(32)).astype(np.int64), 0)
+            _byte_cols(rows, sl, MUL_LOW, lo.astype(np.uint32))
+            _byte_cols(rows, sl, MUL_HIU, hiu.astype(np.uint32))
+            # 8-limb carry chain of in1*in2 = hiu*2^32 + lo (LSB-first)
+            bl = np.stack([(b.astype(np.int64) >> (8 * i)) & 0xFF for i in range(4)])
+            cl = np.stack([(c.astype(np.int64) >> (8 * i)) & 0xFF for i in range(4)])
+            dl = [(lo >> (8 * k)) & 0xFF for k in range(4)] + \
+                 [(hiu >> (8 * k)) & 0xFF for k in range(4)]
+            t = np.zeros(n, dtype=np.int64)
+            for k in range(7):
+                pk = sum(bl[x] * cl[k - x]
+                         for x in range(max(0, k - 3), min(3, k) + 1))
+                t = (pk + t - dl[k]) >> 8
+                t = np.where(is_mulh, t, 0)
+                rows[sl, MUL_TL[k]] = (t & 0xFF).astype(np.uint32)
+                rows[sl, MUL_TH0[k]] = ((t >> 8) & 1).astype(np.uint32)
+                rows[sl, MUL_TH1[k]] = ((t >> 9) & 1).astype(np.uint32)
+            # mulhs: sign bits + borrow chain out = hiu - s1*c - s2*b
+            is_mulhs = kinds == 1
+            top1 = bl[3]
+            top2 = cl[3]
+            for k in range(8):
+                rows[sl, MUL_SA_BITS[k]] = np.where(
+                    is_mulhs, (top1 >> k) & 1, 0).astype(np.uint32)
+                rows[sl, MUL_SB_BITS[k]] = np.where(
+                    is_mulhs, (top2 >> k) & 1, 0).astype(np.uint32)
+            s1 = np.where(is_mulhs, (top1 >> 7) & 1, 0)
+            s2 = np.where(is_mulhs, (top2 >> 7) & 1, 0)
+            al = np.stack([(a.astype(np.int64) >> (8 * i)) & 0xFF for i in range(4)])
+            u = np.zeros(n, dtype=np.int64)
+            for k in range(4):
+                hk = (hiu >> (8 * k)) & 0xFF
+                d = hk - s1 * cl[k] - s2 * bl[k] - u
+                # out_k = d + 256*u_k with u_k in {0,1,2}
+                u = np.where(is_mulhs, (al[k] - d) >> 8, 0)
+                rows[sl, MUL_U[k]] = u.astype(np.uint32)
         return rows
 
     def global_sends(self, machine):
@@ -322,11 +380,21 @@ class Mul32Chip(Chip):
         # mul execute calls range_check but the chip never sends, leaving
         # the range bus unbalanced for any mul program)
         is_real = VPCol.sum_main([MUL_IS_MUL, MUL_IS_MULHS, MUL_IS_MULHU])
-        return [
+        sends = [
             Interaction(fields=[VPCol.single_main(c)], count=is_real,
                         bus=machine.range_bus())
             for c in MUL_OUT
         ]
+        # high-word chain witnesses are 8-bit range-checked
+        is_mulh = VPCol.sum_main([MUL_IS_MULHS, MUL_IS_MULHU])
+        for c in MUL_LOW + list(MUL_TL):
+            sends.append(Interaction(fields=[VPCol.single_main(c)],
+                                     count=is_mulh, bus=machine.range_bus()))
+        for c in MUL_HIU:
+            sends.append(Interaction(fields=[VPCol.single_main(c)],
+                                     count=VPCol.single_main(MUL_IS_MULHS),
+                                     bus=machine.range_bus()))
+        return sends
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -362,12 +430,67 @@ class Mul32Chip(Chip):
                 acc = t if acc is None else acc + t
             return acc
 
-        # congruence checks gated on is_mul (mulhs/mulhu TODO as in ref)
+        # low-word congruence checks gated on is_mul (σ/π trick)
         is_mul = local[MUL_IS_MUL]
         b.when(is_mul).assert_eq(pi_m(4, base_m), sigma_m(4, base_m) + local[MUL_R] * 2)
         b.when(is_mul).assert_eq(
             pi_m(2, base_m), sigma_m(2, base_m) + local[MUL_S] * (1 << 16)
         )
+
+        # -- mulhs/mulhu: exact 64-bit product via an 8-limb carry chain
+        # (in1*in2 = HIU*2^32 + LOW over the integers; the reference
+        # leaves these constraints TODO, mul/stark.rs:24) --
+        is_mulhs = local[MUL_IS_MULHS]
+        is_mulhu = local[MUL_IS_MULHU]
+        is_mulh = is_mulhs + is_mulhu
+        bl = [local[MUL_IN1[3 - k]] for k in range(4)]
+        cl = [local[MUL_IN2[3 - k]] for k in range(4)]
+        al = [local[MUL_OUT[3 - k]] for k in range(4)]
+        ll = [local[MUL_LOW[3 - k]] for k in range(4)]
+        hl = [local[MUL_HIU[3 - k]] for k in range(4)]
+        ts = [
+            local[MUL_TL[k]] + 256 * (local[MUL_TH0[k]] + 2 * local[MUL_TH1[k]])
+            for k in range(7)
+        ]
+        for k in range(7):
+            b.assert_bool(local[MUL_TH0[k]])
+            b.assert_bool(local[MUL_TH1[k]])
+        dl = ll + hl
+        for k in range(8):
+            pk = None
+            for x in range(max(0, k - 3), min(3, k) + 1):
+                t = bl[x] * cl[k - x]
+                pk = t if pk is None else pk + t
+            lhs = pk if pk is not None else 0
+            if k > 0:
+                lhs = lhs + ts[k - 1]
+            rhs = dl[k] + (256 * ts[k] if k < 7 else 0)
+            b.when(is_mulh).assert_eq(lhs, rhs)
+        # mulhu: the output is the unsigned high word
+        for k in range(4):
+            b.when(is_mulhu).assert_eq(al[k], hl[k])
+        # mulhs: out = hiu - sign(in1)*in2 - sign(in2)*in1  (mod 2^32),
+        # limb-wise with borrows in {0,1,2}
+        top1 = None
+        top2 = None
+        for k in range(8):
+            b.assert_bool(local[MUL_SA_BITS[k]])
+            b.assert_bool(local[MUL_SB_BITS[k]])
+            t1k = (1 << k) * local[MUL_SA_BITS[k]]
+            t2k = (1 << k) * local[MUL_SB_BITS[k]]
+            top1 = t1k if top1 is None else top1 + t1k
+            top2 = t2k if top2 is None else top2 + t2k
+        b.when(is_mulhs).assert_eq(top1, local[MUL_IN1[0]])
+        b.when(is_mulhs).assert_eq(top2, local[MUL_IN2[0]])
+        s1 = local[MUL_SA_BITS[7]]
+        s2 = local[MUL_SB_BITS[7]]
+        for k in range(4):
+            uk = local[MUL_U[k]]
+            b.assert_zero(uk * (uk - 1) * (uk - 2))
+            prev = local[MUL_U[k - 1]] if k > 0 else 0
+            b.when(is_mulhs).assert_eq(
+                al[k], hl[k] - s1 * cl[k] - s2 * bl[k] - prev + 256 * uk
+            )
 
         # range-check counter (last row pinned to the actual trace height,
         # not the reference's hard-coded 2^10)
@@ -377,11 +500,29 @@ class Mul32Chip(Chip):
         b.when_last_row().assert_eq(local[MUL_COUNTER], b.trace_height or (1 << 10))
 
 
+def _mulh_side_effects(m, kind, b, c):
+    """Witness bookkeeping for a mulhs/mulhu row: low-word, carry-limb,
+    and (mulhs) unsigned-high-word range checks."""
+    p = b * c
+    m.range().range_check_word(p & MASK32)
+    if kind == "mulhs":
+        m.range().range_check_word((p >> 32) & MASK32)
+    bl = [(b >> (8 * i)) & 0xFF for i in range(4)]
+    cl = [(c >> (8 * i)) & 0xFF for i in range(4)]
+    t = 0
+    for k in range(7):
+        pk = sum(bl[x] * cl[k - x] for x in range(max(0, k - 3), min(3, k) + 1))
+        t = (pk + t - ((p >> (8 * k)) & 0xFF)) >> 8
+        m.range().count[t & 0xFF] = m.range().count.get(t & 0xFF, 0) + 1
+
+
 def _mul_exec(kind, opcode, fn):
     def ex(m, ops):
         b, c, imm, _ = _read_b_c(m, ops, opcode)
         a = fn(b, c)
         m.mul_u32().operations.append((kind, a, b, c))
+        if kind != "mul":
+            _mulh_side_effects(m, kind, b, c)
         _finish(m, ops, opcode, a, imm)
 
     return ex
@@ -393,14 +534,26 @@ ex_mulhu32 = _mul_exec("mulhu", OC.MULHU32, mulhu_u32)
 
 
 # ---------------------------------------------------------------------------
-# Div32 — complete unsigned-division argument (the reference's AIR is a
-# stub, div/stark.rs:18-21; SURVEY §7 step 8 prescribes the mul-pattern
-# proof).  For is_div rows we prove b = a*c + r exactly over the integers:
+# Div32 — complete division argument (the reference's AIR is a stub,
+# div/stark.rs:18-21; SURVEY §7 step 8 prescribes the mul-pattern proof).
+#
+# For is_div rows we prove b = a*c + r exactly over the integers:
 #   byte-limb carry chain with range-checked carries, zero carry out of
 #   byte 3, and zero high partial products (sums of nonnegative
 #   range-checked byte products vanish iff every term does);
 #   r < c is delegated to the Lt32 chip via a general-bus send.
-# SDIV32 rows remain flag-only (as in the reference).
+#
+# For is_sdiv rows (truncating signed division, core.rs `sdiv`) we reduce
+# to the unsigned argument on absolute values:
+#   sign bits of in1/in2 from top-byte bit decompositions; witness words
+#   NB = |in1|, NC = |in2|, NA = |out|; negations are delegated to the
+#   Sub32 chip as 0 - x rows (one general-bus send each, gated on
+#   sign-product counts so the messages only fire when a negation
+#   happens; the un-negated legs are pinned by identity constraints);
+#   then the same carry chain proves NB = NA*NC + R with R < NC via Lt32,
+#   and sdiff = sign(in1) xor sign(in2) selects whether out = NA or
+#   out = -NA.  The carry/remainder columns are shared with is_div rows
+#   (a row is exclusively one kind).
 # ---------------------------------------------------------------------------
 
 _d = IndexAllocator()
@@ -416,6 +569,15 @@ DIV_T2H0 = _d.scalar()
 DIV_T2H1 = _d.scalar()
 DIV_IS_DIV = _d.scalar()
 DIV_IS_SDIV = _d.scalar()
+SDIV_NB = _d.word()            # |in1|
+SDIV_NC = _d.word()            # |in2|
+SDIV_NA = _d.word()            # |out|
+SDIV_B1_BITS = _d.array(8)     # bits of in1's top byte (sign = bit 7)
+SDIV_B2_BITS = _d.array(8)     # bits of in2's top byte
+SDIV_SDIFF = _d.scalar()       # sign(in1) xor sign(in2)
+SDIV_NEG_B = _d.scalar()       # is_sdiv * sign(in1)   (send counts,
+SDIV_NEG_C = _d.scalar()       # is_sdiv * sign(in2)    kept linear)
+SDIV_NEG_A = _d.scalar()       # is_sdiv * sdiff
 NUM_DIV_COLS = _d.width
 
 
@@ -453,17 +615,44 @@ class Div32Chip(Chip):
         _byte_cols(rows, sl, DIV_IN2, c)
         _byte_cols(rows, sl, DIV_OUT, a)
         is_div = kinds == 0
+        is_sdiv = kinds == 1
         rows[sl, DIV_IS_DIV] = is_div.astype(np.uint32)
-        rows[sl, DIV_IS_SDIV] = (kinds == 1).astype(np.uint32)
+        rows[sl, DIV_IS_SDIV] = is_sdiv.astype(np.uint32)
         a64 = a.astype(np.int64)
         b64 = b.astype(np.int64)
         c64 = c.astype(np.int64)
-        r64 = np.where(is_div, b64 - a64 * c64, 0)
+        # signed rows: absolute values, quotient magnitude, sign plumbing
+        sb = b64 >> 31
+        sc = c64 >> 31
+        nb64 = np.where(sb == 1, (1 << 32) - b64, b64)
+        nc64 = np.where(sc == 1, (1 << 32) - c64, c64)
+        na64 = np.where(is_sdiv & (nc64 != 0), nb64 // np.maximum(nc64, 1), 0)
+        sdiff = (sb ^ sc).astype(np.uint32)
+        _byte_cols(rows, sl, SDIV_NB, np.where(is_sdiv, nb64, 0).astype(np.uint32))
+        _byte_cols(rows, sl, SDIV_NC, np.where(is_sdiv, nc64, 0).astype(np.uint32))
+        _byte_cols(rows, sl, SDIV_NA, na64.astype(np.uint32))
+        top1 = (b64 >> 24) & 0xFF
+        top2 = (c64 >> 24) & 0xFF
+        for k in range(8):
+            rows[sl, SDIV_B1_BITS[k]] = np.where(is_sdiv, (top1 >> k) & 1, 0).astype(np.uint32)
+            rows[sl, SDIV_B2_BITS[k]] = np.where(is_sdiv, (top2 >> k) & 1, 0).astype(np.uint32)
+        rows[sl, SDIV_SDIFF] = np.where(is_sdiv, sdiff, 0)
+        rows[sl, SDIV_NEG_B] = np.where(is_sdiv, sb, 0).astype(np.uint32)
+        rows[sl, SDIV_NEG_C] = np.where(is_sdiv, sc, 0).astype(np.uint32)
+        rows[sl, SDIV_NEG_A] = np.where(is_sdiv, sdiff, 0).astype(np.uint32)
+        # shared remainder + carry chain: (out,in1,in2) for div rows,
+        # (|out|,|in1|,|in2|) for sdiv rows
+        ca = np.where(is_div, a64, na64)
+        cb_ = np.where(is_div, b64, nb64)
+        cc = np.where(is_div, c64, nc64)
+        r64 = cb_ - ca * cc
+        real = is_div | is_sdiv
+        r64 = np.where(real, r64, 0)
         _byte_cols(rows, sl, DIV_R, r64.astype(np.uint32))
-        t0, t1, t2 = _div_carries(a64, b64, c64, r64)
-        t0 = np.where(is_div, t0, 0)
-        t1 = np.where(is_div, t1, 0)
-        t2 = np.where(is_div, t2, 0)
+        t0, t1, t2 = _div_carries(ca, cb_, cc, r64)
+        t0 = np.where(real, t0, 0)
+        t1 = np.where(real, t1, 0)
+        t2 = np.where(real, t2, 0)
         rows[sl, DIV_T0] = t0.astype(np.uint32)
         rows[sl, DIV_T1L] = (t1 & 0xFF).astype(np.uint32)
         rows[sl, DIV_T1H] = (t1 >> 8).astype(np.uint32)
@@ -481,20 +670,44 @@ class Div32Chip(Chip):
             for c in DIV_OUT
         ]
         # remainder bytes and carry limbs are 8-bit range-checked
-        is_div = VPCol.single_main(DIV_IS_DIV)
         for c in DIV_R + [DIV_T0, DIV_T1L, DIV_T2L]:
             sends.append(
-                Interaction(fields=[VPCol.single_main(c)], count=is_div,
+                Interaction(fields=[VPCol.single_main(c)], count=is_real,
                             bus=machine.range_bus())
             )
-        # r < c delegated to the Lt32 chip (shift-style delegation)
-        fields = [VPCol.const(OC.LT32)]
-        fields += [VPCol.single_main(c) for c in DIV_R + DIV_IN2]
-        fields += [VPCol.const(0)] * 3 + [VPCol.const(1)]
-        sends.append(
-            Interaction(fields=fields, count=is_div,
-                        bus=machine.general_bus())
-        )
+        # |out| bytes when a negation row consumes them (otherwise they
+        # are pinned to the already-checked OUT bytes)
+        for c in SDIV_NA:
+            sends.append(
+                Interaction(fields=[VPCol.single_main(c)],
+                            count=VPCol.single_main(SDIV_NEG_A),
+                            bus=machine.range_bus())
+            )
+        # r < divisor delegated to the Lt32 chip (shift-style delegation):
+        # divisor is in2 on div rows, |in2| on sdiv rows
+        for r_cols, d_cols, count_col in (
+            (DIV_R, DIV_IN2, DIV_IS_DIV),
+            (DIV_R, SDIV_NC, DIV_IS_SDIV),
+        ):
+            fields = [VPCol.const(OC.LT32)]
+            fields += [VPCol.single_main(c) for c in r_cols + d_cols]
+            fields += [VPCol.const(0)] * 3 + [VPCol.const(1)]
+            sends.append(
+                Interaction(fields=fields, count=VPCol.single_main(count_col),
+                            bus=machine.general_bus())
+            )
+        # negations 0 - x delegated to the Sub32 chip
+        for in_cols, out_cols, count_col in (
+            (DIV_IN1, SDIV_NB, SDIV_NEG_B),
+            (DIV_IN2, SDIV_NC, SDIV_NEG_C),
+            (SDIV_NA, DIV_OUT, SDIV_NEG_A),
+        ):
+            fields = [VPCol.const(OC.SUB32)] + [VPCol.const(0)] * 4
+            fields += [VPCol.single_main(c) for c in in_cols + out_cols]
+            sends.append(
+                Interaction(fields=fields, count=VPCol.single_main(count_col),
+                            bus=machine.general_bus())
+            )
         return sends
 
     def global_receives(self, machine):
@@ -511,39 +724,77 @@ class Div32Chip(Chip):
     def eval(self, b):
         local = b.main_local
         is_div = local[DIV_IS_DIV]
+        is_sdiv = local[DIV_IS_SDIV]
         b.assert_bool(is_div)
-        b.assert_bool(local[DIV_IS_SDIV])
-        b.assert_bool(is_div + local[DIV_IS_SDIV])
+        b.assert_bool(is_sdiv)
+        b.assert_bool(is_div + is_sdiv)
         b.assert_bool(local[DIV_T1H])
         b.assert_bool(local[DIV_T2H0])
         b.assert_bool(local[DIV_T2H1])
 
-        # LSB-first byte views (word columns are big-endian)
-        ab = [local[DIV_OUT[3 - i]] for i in range(4)]
-        bbt = [local[DIV_IN1[3 - i]] for i in range(4)]
-        cb = [local[DIV_IN2[3 - i]] for i in range(4)]
         rb = [local[DIV_R[3 - i]] for i in range(4)]
         t0 = local[DIV_T0]
         t1 = local[DIV_T1L] + 256 * local[DIV_T1H]
         t2 = local[DIV_T2L] + 256 * (local[DIV_T2H0] + 2 * local[DIV_T2H1])
 
-        p0 = ab[0] * cb[0]
-        p1 = ab[0] * cb[1] + ab[1] * cb[0]
-        p2 = ab[0] * cb[2] + ab[1] * cb[1] + ab[2] * cb[0]
-        p3 = ab[0] * cb[3] + ab[1] * cb[2] + ab[2] * cb[1] + ab[3] * cb[0]
+        def chain(gate, out_cols, in1_cols, in2_cols):
+            # b = a*c + r over the integers, LSB-first byte limbs (word
+            # columns are big-endian); shared carry/remainder witnesses
+            ab = [local[out_cols[3 - i]] for i in range(4)]
+            bbt = [local[in1_cols[3 - i]] for i in range(4)]
+            cb = [local[in2_cols[3 - i]] for i in range(4)]
+            p0 = ab[0] * cb[0]
+            p1 = ab[0] * cb[1] + ab[1] * cb[0]
+            p2 = ab[0] * cb[2] + ab[1] * cb[1] + ab[2] * cb[0]
+            p3 = ab[0] * cb[3] + ab[1] * cb[2] + ab[2] * cb[1] + ab[3] * cb[0]
+            b.when(gate).assert_zero(p0 + rb[0] - bbt[0] - 256 * t0)
+            b.when(gate).assert_zero(p1 + rb[1] + t0 - bbt[1] - 256 * t1)
+            b.when(gate).assert_zero(p2 + rb[2] + t1 - bbt[2] - 256 * t2)
+            b.when(gate).assert_zero(p3 + rb[3] + t2 - bbt[3])
+            # no overflow: all high partial products vanish (each term is
+            # a product of range-checked bytes, so the field sum is 0 iff
+            # every term is 0)
+            b.when(gate).assert_zero(
+                ab[1] * cb[3] + ab[2] * cb[2] + ab[3] * cb[1]
+            )
+            b.when(gate).assert_zero(ab[2] * cb[3] + ab[3] * cb[2])
+            b.when(gate).assert_zero(ab[3] * cb[3])
 
-        b.when(is_div).assert_zero(p0 + rb[0] - bbt[0] - 256 * t0)
-        b.when(is_div).assert_zero(p1 + rb[1] + t0 - bbt[1] - 256 * t1)
-        b.when(is_div).assert_zero(p2 + rb[2] + t1 - bbt[2] - 256 * t2)
-        b.when(is_div).assert_zero(p3 + rb[3] + t2 - bbt[3])
-        # no overflow: all high partial products vanish (each term is a
-        # product of range-checked bytes, so the field sum is 0 iff every
-        # term is 0)
-        b.when(is_div).assert_zero(
-            ab[1] * cb[3] + ab[2] * cb[2] + ab[3] * cb[1]
+        chain(is_div, DIV_OUT, DIV_IN1, DIV_IN2)
+        chain(is_sdiv, SDIV_NA, SDIV_NB, SDIV_NC)
+
+        # -- signed rows: sign extraction and negation selection --
+        top1 = None
+        top2 = None
+        for k in range(8):
+            b.assert_bool(local[SDIV_B1_BITS[k]])
+            b.assert_bool(local[SDIV_B2_BITS[k]])
+            t1k = (1 << k) * local[SDIV_B1_BITS[k]]
+            t2k = (1 << k) * local[SDIV_B2_BITS[k]]
+            top1 = t1k if top1 is None else top1 + t1k
+            top2 = t2k if top2 is None else top2 + t2k
+        b.when(is_sdiv).assert_eq(top1, local[DIV_IN1[0]])
+        b.when(is_sdiv).assert_eq(top2, local[DIV_IN2[0]])
+        s1 = local[SDIV_B1_BITS[7]]
+        s2 = local[SDIV_B2_BITS[7]]
+        b.when(is_sdiv).assert_eq(
+            local[SDIV_SDIFF], s1 + s2 - 2 * s1 * s2
         )
-        b.when(is_div).assert_zero(ab[2] * cb[3] + ab[3] * cb[2])
-        b.when(is_div).assert_zero(ab[3] * cb[3])
+        b.assert_eq(local[SDIV_NEG_B], is_sdiv * s1)
+        b.assert_eq(local[SDIV_NEG_C], is_sdiv * s2)
+        b.assert_eq(local[SDIV_NEG_A], is_sdiv * local[SDIV_SDIFF])
+        # un-negated legs are identities (negated legs are closed by the
+        # Sub32 delegation sends); counts is_sdiv - NEG_x = is_sdiv*(1-s)
+        for k in range(4):
+            b.when(is_sdiv - local[SDIV_NEG_B]).assert_eq(
+                local[SDIV_NB[k]], local[DIV_IN1[k]]
+            )
+            b.when(is_sdiv - local[SDIV_NEG_C]).assert_eq(
+                local[SDIV_NC[k]], local[DIV_IN2[k]]
+            )
+            b.when(is_sdiv - local[SDIV_NEG_A]).assert_eq(
+                local[SDIV_NA[k]], local[DIV_OUT[k]]
+            )
 
 
 def _div_side_effects(m, a, b, c):
@@ -557,6 +808,32 @@ def _div_side_effects(m, a, b, c):
     m.lt_u32().operations.append(("lt", 1, r, c))
 
 
+def _sdiv_side_effects(m, a, b, c):
+    """Witness bookkeeping for a signed-division row: delegated Sub32
+    negation rows (0 - x), the unsigned carry chain on absolute values,
+    and the delegated R < |c| comparison."""
+    sb, sc = b >> 31, c >> 31
+    nb = ((1 << 32) - b) & MASK32 if sb else b
+    nc = ((1 << 32) - c) & MASK32 if sc else c
+    na = nb // nc
+    if sb:
+        m.sub_u32().operations.append((nb, 0, b))
+        m.range().range_check_word(nb)
+    if sc:
+        m.sub_u32().operations.append((nc, 0, c))
+        m.range().range_check_word(nc)
+    if sb != sc:
+        m.sub_u32().operations.append((a, 0, na))
+        m.range().range_check_word(a)
+        m.range().range_check_word(na)  # the chip's NA sends (count NEG_A)
+    r = nb - na * nc
+    m.range().range_check_word(r)
+    t0, t1, t2 = _div_carries(na, nb, nc, r)
+    for v in (t0, t1 & 0xFF, t2 & 0xFF):
+        m.range().count[v] = m.range().count.get(v, 0) + 1
+    m.lt_u32().operations.append(("lt", 1, r, nc))
+
+
 def _div_exec(kind, opcode, fn):
     def ex(m, ops):
         b, c, imm, _ = _read_b_c(m, ops, opcode)
@@ -564,6 +841,8 @@ def _div_exec(kind, opcode, fn):
         m.div_u32().operations.append((kind, a, b, c))
         if kind == "div":
             _div_side_effects(m, a, b, c)
+        else:
+            _sdiv_side_effects(m, a, b, c)
         _finish(m, ops, opcode, a, imm)
 
     return ex
@@ -962,6 +1241,8 @@ SH_POW = _sh.word()
 SH_IS_SHL = _sh.scalar()
 SH_IS_SHR = _sh.scalar()
 SH_IS_SRA = _sh.scalar()
+SH_TOP_BITS_1 = _sh.array(8)  # bit decomposition of in1's top byte
+SH_SRA_NEG = _sh.scalar()     # is_sra * sign(in1)  (linear send count)
 NUM_SHIFT_COLS = _sh.width
 
 
@@ -994,19 +1275,45 @@ class Shift32Chip(Chip):
         _byte_cols(rows, sl, SH_POW, pow2)
         for ki, col in enumerate([SH_IS_SHL, SH_IS_SHR, SH_IS_SRA]):
             rows[sl, col] = (kinds == ki).astype(np.uint32)
+        top = b >> np.uint32(24)
+        for k in range(8):
+            rows[sl, SH_TOP_BITS_1[k]] = (top >> np.uint32(k)) & 1
+        rows[sl, SH_SRA_NEG] = ((kinds == 2) & (b >> 31 == 1)).astype(np.uint32)
         return rows
 
     def global_sends(self, machine):
+        # Delegation (reference shift/stark.rs:55-69 re-sends SHL->MUL32,
+        # SHR->DIV32, SRA->SDIV32).  The reference's SRA->SDIV32 leg is
+        # internally inconsistent: its SRA executes an arithmetic shift
+        # (floor division, core.rs `sra`) while SDIV truncates toward zero
+        # (core.rs `sdiv`) — the two differ for negative odd inputs.  We
+        # instead use the two's-complement identity
+        #     sra(b, s) = ~( ~b >> s )          for sign(b) = 1
+        #     sra(b, s) =    b >> s             for sign(b) = 0
+        # and delegate BOTH legs to the fully-constrained unsigned Div32
+        # row: the complemented message fields 255 - byte are linear in the
+        # columns, so no extra witness beyond sign(in1) is needed
+        # (docs/deviations.md).
         opcode = VPCol(
             [(("main", SH_IS_SHL), OC.MUL32), (("main", SH_IS_SHR), OC.DIV32),
-             (("main", SH_IS_SRA), OC.SDIV32)]
+             (("main", SH_IS_SRA), OC.DIV32)]
         )
         fields = [opcode]
         fields += [VPCol.single_main(c) for c in SH_IN1 + SH_POW + SH_OUT]
-        return [Interaction(
-            fields=fields,
-            count=VPCol.sum_main([SH_IS_SHL, SH_IS_SHR, SH_IS_SRA]),
-            bus=machine.general_bus())]
+        direct_count = VPCol(
+            [(("main", SH_IS_SHL), 1), (("main", SH_IS_SHR), 1),
+             (("main", SH_IS_SRA), 1), (("main", SH_SRA_NEG), bb.P - 1)]
+        )
+        sends = [Interaction(fields=fields, count=direct_count,
+                             bus=machine.general_bus())]
+        comp_fields = [VPCol.const(OC.DIV32)]
+        comp_fields += [VPCol([(("main", c), bb.P - 1)], 255) for c in SH_IN1]
+        comp_fields += [VPCol.single_main(c) for c in SH_POW]
+        comp_fields += [VPCol([(("main", c), bb.P - 1)], 255) for c in SH_OUT]
+        sends.append(Interaction(fields=comp_fields,
+                                 count=VPCol.single_main(SH_SRA_NEG),
+                                 bus=machine.general_bus()))
+        return sends
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -1049,22 +1356,43 @@ class Shift32Chip(Chip):
         b.assert_bool(local[SH_IS_SRA])
         b.assert_bool(local[SH_IS_SHL] + local[SH_IS_SHR] + local[SH_IS_SRA])
 
+        # sign(in1) for the SRA complement delegation
+        top1 = None
+        for k in range(8):
+            t = bit_base[k] * local[SH_TOP_BITS_1[k]]
+            top1 = t if top1 is None else top1 + t
+            b.assert_bool(local[SH_TOP_BITS_1[k]])
+        b.assert_eq(top1, local[SH_IN1[0]])
+        b.assert_eq(local[SH_SRA_NEG],
+                    local[SH_IS_SRA] * local[SH_TOP_BITS_1[7]])
+
 
 def _shift_exec(kind, opcode, fn):
     def ex(m, ops):
         b, c, imm, _ = _read_b_c(m, ops, opcode)
         a = fn(b, c)
         d = 1 << (c & 31)
+        range_check = True
         if kind == "shl":
             m.mul_u32().operations.append(("mul", a, b, d))
         elif kind == "shr":
             m.div_u32().operations.append(("div", a, b, d))
             _div_side_effects(m, a, b, d)
         else:
-            m.div_u32().operations.append(("sdiv", a, b, d))
+            # sra(b, s) = ~(~b >> s) for negative b, b >> s otherwise:
+            # both legs delegate to an unsigned div row (see global_sends)
+            if b >> 31:
+                na, nb = a ^ MASK32, b ^ MASK32
+            else:
+                na, nb = a, b
+            m.div_u32().operations.append(("div", na, nb, d))
+            _div_side_effects(m, na, nb, d)
+            # the delegated row's output send is on na's bytes, not a's
+            m.range().range_check_word(na)
+            range_check = False
         m.shift_u32().operations.append((kind, a, b, c))
         # the delegated mul/div row sends its output bytes to the range bus
-        _finish(m, ops, opcode, a, imm, range_check=True)
+        _finish(m, ops, opcode, a, imm, range_check=range_check)
 
     return ex
 

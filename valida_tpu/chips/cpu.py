@@ -535,7 +535,7 @@ def ex_storeu8(m, ops):
     cell = _rd(m, addr_of_word(ra), 1, OC.STOREU8)
     byte = u32_to_bytes(cell)[index_of_byte(ra)]
     wa_idx = addr_of_word(wa)
-    cur = m.mem().read_or_init(clk, wa_idx, True)
+    cur = m.mem().peek(wa_idx)
     m.mem().write(clk, wa_idx, update_byte(cur, byte, index_of_byte(wa)), True)
     cpu.pc += 1
     cpu.push_op("store_u8", None, OC.STOREU8, ops)

@@ -18,10 +18,10 @@ machinery disabled (`memory/src/stark.rs:22-78`, `memory/src/lib.rs:
   of an address must not be a read (read-before-write soundness; row 0
   included), counter chaining.
 
-Note: STOREU8's `read_or_init` of a never-written cell logs a read of the
-default value, which this argument (correctly) rejects — that op is
-already internally inconsistent in the reference (3 reads on 2 CPU
-channels); see docs/deviations.md.
+Note: STOREU8's read-modify-write merge read is host-side only (`peek`,
+unlogged) — the CPU has 3 memory channels but the op would need 3 reads +
+1 write; the reference has the same inconsistency and only sidesteps it
+because its memory argument is disabled.  See docs/deviations.md.
 """
 
 from __future__ import annotations
@@ -81,6 +81,15 @@ class MemoryChip(Chip):
         if log:
             self.operations.setdefault(clk, []).append(("r", address, value))
         return value
+
+    def peek(self, address):
+        """Unlogged read (0 if uninitialized) — for read-modify-write ops
+        whose proof sees only the final write (STOREU8): the CPU has 3
+        memory channels but the op needs 3 reads + 1 write, so the merge
+        read stays host-side (the reference has the same inconsistency and
+        sidesteps it only because its memory argument is disabled,
+        cpu/src/lib.rs:646-697, memory/src/stark.rs:22-78)."""
+        return self.cells.get(address, 0)
 
     def write(self, clk, address, value, log):
         if log:

@@ -108,6 +108,12 @@ struct Vm {
     return v;
   }
 
+  // unlogged read (mirrors chips/memory.py::peek)
+  uint32_t mem_peek(uint32_t addr) {
+    auto it = cells.find(addr);
+    return it == cells.end() ? 0 : it->second;
+  }
+
   void mem_write(uint32_t addr, uint32_t value) {
     mem_ops.push_back({(uint32_t)clock, 1, addr, value});
     cells[addr] = value;
@@ -150,6 +156,48 @@ struct Vm {
     range_count[t1 & 0xFF]++;
     range_count[t2 & 0xFF]++;
     lt_ops.push_back({0, 1, r, c});
+  }
+
+  // mirrors chips/alu.py::_sdiv_side_effects
+  void sdiv_side_effects(uint32_t a, uint32_t b, uint32_t c) {
+    uint32_t sb = b >> 31, sc = c >> 31;
+    uint32_t nb = sb ? (uint32_t)(0u - b) : b;
+    uint32_t nc = sc ? (uint32_t)(0u - c) : c;
+    uint32_t na = nb / nc;
+    if (sb) {
+      sub_ops.push_back({0, nb, 0, b});
+      range_check(nb);
+    }
+    if (sc) {
+      sub_ops.push_back({0, nc, 0, c});
+      range_check(nc);
+    }
+    if (sb != sc) {
+      sub_ops.push_back({0, a, 0, na});
+      range_check(a);
+      range_check(na);
+    }
+    div_side_effects(na, nb, nc);
+  }
+
+  // mirrors chips/alu.py::_mulh_side_effects
+  void mulh_side_effects(uint32_t kind, uint32_t b, uint32_t c) {
+    uint64_t p = (uint64_t)b * (uint64_t)c;
+    range_check((uint32_t)p);
+    if (kind == 1) range_check((uint32_t)(p >> 32));
+    int64_t bl[4], cl[4];
+    for (int i = 0; i < 4; i++) {
+      bl[i] = (b >> (8 * i)) & 0xFF;
+      cl[i] = (c >> (8 * i)) & 0xFF;
+    }
+    int64_t t = 0;
+    for (int k = 0; k < 7; k++) {
+      int64_t pk = 0;
+      int lo_x = k - 3 > 0 ? k - 3 : 0, hi_x = k < 3 ? k : 3;
+      for (int x = lo_x; x <= hi_x; x++) pk += bl[x] * cl[k - x];
+      t = (pk + t - (int64_t)((p >> (8 * k)) & 0xFF)) >> 8;
+      range_count[t & 0xFF]++;
+    }
   }
 
   // ---- operand fetch shared by ALU ops ----
@@ -253,7 +301,7 @@ struct Vm {
         if (!mem_read(ra & ~3u, &cell, opc, 1)) return false;
         uint8_t byte = (cell >> (8 * (ra & 3))) & 0xFF;
         uint32_t wa_idx = wa & ~3u;
-        uint32_t cur = mem_read_or_init(wa_idx);
+        uint32_t cur = mem_peek(wa_idx);
         // update_byte: byte-swap then write at BE slot index_of_byte(wa)
         uint32_t swapped = __builtin_bswap32(cur);
         uint32_t loc = 3 - (wa & 3);
@@ -360,6 +408,7 @@ struct Vm {
           kind = 2;
         }
         mul_ops.push_back({kind, a, b, c});
+        if (kind != 0) mulh_side_effects(kind, b, c);
         finish_alu(iw, a, has_imm, imm, false, true);
         break;
       }
@@ -372,6 +421,7 @@ struct Vm {
                                   : (uint32_t)((int32_t)b / (int32_t)c);
         div_ops.push_back({opc == DIV32 ? 0u : 1u, a, b, c});
         if (opc == DIV32) div_side_effects(a, b, c);
+        else sdiv_side_effects(a, b, c);
         finish_alu(iw, a, has_imm, imm, false, true);
         break;
       }
@@ -432,9 +482,21 @@ struct Vm {
           div_ops.push_back({0, a, b, d});
           div_side_effects(a, b, d);
         } else {
+          // sra(b, s) = ~(~b >> s) for negative b, b >> s otherwise:
+          // both legs delegate to an unsigned div row
           a = (uint32_t)((int32_t)b >> sh);
           kind = 2;
-          div_ops.push_back({1, a, b, d});
+          uint32_t na = a, nb = b;
+          if (b >> 31) {
+            na = ~a;
+            nb = ~b;
+          }
+          div_ops.push_back({0, na, nb, d});
+          div_side_effects(na, nb, d);
+          range_check(na);
+          shift_ops.push_back({kind, a, b, c});
+          finish_alu(iw, a, has_imm, imm, false, false);
+          break;
         }
         shift_ops.push_back({kind, a, b, c});
         finish_alu(iw, a, has_imm, imm, false, true);
