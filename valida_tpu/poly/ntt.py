@@ -87,7 +87,12 @@ def _bcast(tw: jnp.ndarray, ndim_rest: int):
 
 
 def dif(a, inverse: bool = False):
-    """Natural-in, bitrev-out radix-2 DIF over axis 0 (no 1/N scaling)."""
+    """Natural-in, bitrev-out radix-2 DIF over axis 0 (no 1/N scaling).
+
+    Two butterfly levels are fused per pass (radix-4): the stage loop is
+    memory-bound on TPU (each level re-reads the whole array from HBM),
+    so fusing halves the HBM traffic at identical arithmetic cost.
+    Outputs are bit-identical to the radix-2 schedule."""
     n = int(a.shape[0])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "NTT size must be a power of two"
@@ -95,15 +100,38 @@ def dif(a, inverse: bool = False):
         return a
     xp = xp_of(a)
     rest = tuple(a.shape[1:])
+    nd = len(rest)
     pw = _root_powers(log_n, inverse)
-    for s in range(log_n):
+    s = 0
+    while log_n - s >= 2:
+        q = n >> (s + 2)
+        tw_s = pw[:: 1 << s][: 2 * q]
+        t0 = _bcast(tw_s[:q], nd)[None]
+        t1 = _bcast(tw_s[q:], nd)[None]
+        te = _bcast(pw[:: 1 << (s + 1)][:q], nd)[None]
+        x = a.reshape((1 << s, 2, 2, q) + rest)
+        x00, x01 = x[:, 0, 0], x[:, 0, 1]
+        x10, x11 = x[:, 1, 0], x[:, 1, 1]
+        # level s
+        lo0 = bb.add(x00, x10)
+        lo1 = bb.add(x01, x11)
+        hi0 = bb.mul(bb.sub(x00, x10), t0)
+        hi1 = bb.mul(bb.sub(x01, x11), t1)
+        # level s+1
+        y0 = bb.add(lo0, lo1)
+        y1 = bb.mul(bb.sub(lo0, lo1), te)
+        y2 = bb.add(hi0, hi1)
+        y3 = bb.mul(bb.sub(hi0, hi1), te)
+        a = xp.stack([y0, y1, y2, y3], axis=1).reshape((n,) + rest)
+        s += 2
+    if s < log_n:  # odd log_n: one radix-2 tail stage
         half = n >> (s + 1)
         tw = pw[:: 1 << s][:half]
         x = a.reshape((1 << s, 2, half) + rest)
         x0 = x[:, 0]
         x1 = x[:, 1]
         lo = bb.add(x0, x1)
-        hi = bb.mul(bb.sub(x0, x1), _bcast(tw, len(rest))[None])
+        hi = bb.mul(bb.sub(x0, x1), _bcast(tw, nd)[None])
         a = xp.stack([lo, hi], axis=1).reshape((n,) + rest)
     return a
 
@@ -117,13 +145,39 @@ def dit(a, inverse: bool = False):
         return a
     xp = xp_of(a)
     rest = tuple(a.shape[1:])
+    nd = len(rest)
     pw = _root_powers(log_n, inverse)
-    for s in range(log_n - 1, -1, -1):
-        half = n >> (s + 1)
-        tw = pw[:: 1 << s][:half]
-        x = a.reshape((1 << s, 2, half) + rest)
+    s = log_n - 1
+    while s >= 1:  # radix-4: levels s then s-1, one HBM pass (see dif)
+        q = n >> (s + 1)
+        te = _bcast(pw[:: 1 << s][:q], nd)[None]
+        tw_lo = pw[:: 1 << (s - 1)][: 2 * q]
+        t0 = _bcast(tw_lo[:q], nd)[None]
+        t1 = _bcast(tw_lo[q:], nd)[None]
+        x = a.reshape((1 << (s - 1), 2, 2, q) + rest)
+        x00, x01 = x[:, 0, 0], x[:, 0, 1]
+        x10, x11 = x[:, 1, 0], x[:, 1, 1]
+        # level s (within each half of the level-(s-1) group)
+        o0 = bb.mul(x01, te)
+        a0 = bb.add(x00, o0)
+        a1 = bb.sub(x00, o0)
+        o1 = bb.mul(x11, te)
+        b0 = bb.add(x10, o1)
+        b1 = bb.sub(x10, o1)
+        # level s-1
+        c0 = bb.mul(b0, t0)
+        c1 = bb.mul(b1, t1)
+        a = xp.stack(
+            [bb.add(a0, c0), bb.add(a1, c1), bb.sub(a0, c0), bb.sub(a1, c1)],
+            axis=1,
+        ).reshape((n,) + rest)
+        s -= 2
+    if s == 0:  # odd log_n: one radix-2 tail stage
+        half = n >> 1
+        tw = pw[:half]
+        x = a.reshape((1, 2, half) + rest)
         e = x[:, 0]
-        o = bb.mul(x[:, 1], _bcast(tw, len(rest))[None])
+        o = bb.mul(x[:, 1], _bcast(tw, nd)[None])
         a = xp.stack([bb.add(e, o), bb.sub(e, o)], axis=1).reshape((n,) + rest)
     return a
 
