@@ -1,0 +1,327 @@
+"""MXU (systolic-array) NTT: four-step radix-2^r steps as exact bf16 matmuls.
+
+The stage-loop NTT (poly/ntt.py) is compute-bound on the VPU Montgomery
+multiply (~7 u32 multiplies per butterfly).  The TPU's FLOPs live in the
+MXU, so this module evaluates up to 7 butterfly levels at a time as a
+B-point DFT **matrix multiply** (B = 2^r <= 128) using the four-step
+identity
+
+    X[u + B·v] = DFT_M( w^{u·t} · Σ_i (w^M)^{u·i} x[i·M + t] )[v]
+
+(`w` the order-L root, `M = L/B`): one [B,B] modular matmul over the
+leading axis, a pointwise twiddle, a bit-reversal row permutation (folded
+into the matrix, keeping outputs bit-identical to poly/ntt.dif's
+bitrev-out convention), then recursion on the M-point blocks.  The radix
+schedule puts the log2(N) mod 7 remainder FIRST so the final (M = 1) step
+is always a full 128-point transform.
+
+Modular matmul on the MXU, exactly:
+  * split the (canonical) DFT matrix into per-8-bit-limb pairs
+    D_{j,i} = limb_i(2^{8j}·D mod p)  (j = input-limb index, i = output
+    limb index), entries 0..255 — exactly representable in bf16;
+  * split the u32 inputs into 8-bit limbs x_j;
+  * 16 bf16 matmuls with f32 accumulation: every partial product is
+    <= 255², every accumulated sum <= 128·4·255² < 2^25 — all exact;
+  * fold limbs on the VPU: y = Σ_i c_i·2^{8i} mod p via 3 Montgomery
+    const-multiplies (c_i < 2^25 < p, so they are already reduced).
+
+On TPU backends every step runs as ONE fused Pallas kernel (a single HBM
+read + write per step: limb extraction, the 16 MXU dots, the f32→u32
+fold, and the twiddle all happen in VMEM); elsewhere a plain-XLA matmul
+pipeline computes the same values (used by the CPU bit-exactness tests).
+
+Outputs are bit-identical to poly/ntt.dif (tested); used automatically by
+poly/ntt.dif for device arrays on the TPU backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import babybear as bb
+
+_B = 128
+_LOG_B = 7
+
+# VMEM budget for one input block of a kernel program (bytes)
+_BLOCK_BUDGET = 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# Host-side table construction (cached per (log_len, inverse))
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _rev_bits(log_n: int) -> tuple:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return tuple(int(v) for v in rev)
+
+
+def _dft_matrix(root: int, size: int) -> np.ndarray:
+    """[size, size] canonical u32: D[u, i] = root^(u*i) mod p."""
+    pw = np.ones(size, dtype=np.uint64)
+    for k in range(1, size):
+        pw[k] = pw[k - 1] * root % bb.P
+    exps = (np.arange(size, dtype=np.uint64)[:, None]
+            * np.arange(size, dtype=np.uint64)[None, :]) % size
+    return pw[exps.astype(np.int64)].astype(np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _matmul_limbs(log_len: int, inverse: bool, out_size: int):
+    """bf16 limb matrices [16, out_size, out_size] for the DFT of the
+    order-(2^log_len) root raised to (len/out_size).  Output rows are
+    pre-permuted to bitrev order so no gather pass is needed."""
+    length = 1 << log_len
+    w = bb.two_adic_generator(log_len)
+    if inverse:
+        w = bb.h_inv(w)
+    w_b = pow(w, length // out_size, bb.P)
+    d = _dft_matrix(w_b, out_size).astype(np.uint64)
+    d = d[np.asarray(_rev_bits(out_size.bit_length() - 1), dtype=np.int64)]
+    limbs = np.zeros((4, 4, out_size, out_size), dtype=np.float32)
+    for j in range(4):
+        dj = (d << (8 * j)) % bb.P
+        for i in range(4):
+            limbs[j, i] = ((dj >> (8 * i)) & 0xFF).astype(np.float32)
+    return jnp.asarray(
+        limbs.reshape(16, out_size, out_size), dtype=jnp.bfloat16
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _step_twiddles(log_len: int, inverse: bool, size: int):
+    """Montgomery table [M, size]: w^(rev(r)*t) for the order-2^log_len
+    root, transposed (Pallas block last-dim alignment) with rows
+    pre-permuted to match _matmul_limbs' output order."""
+    from . import ntt as nttm
+
+    length = 1 << log_len
+    m = length // size
+    w = bb.two_adic_generator(log_len)
+    if inverse:
+        w = bb.h_inv(w)
+    wu = np.ones(size, dtype=np.uint64)
+    for k in range(1, size):
+        wu[k] = wu[k - 1] * w % bb.P
+    rev = _rev_bits(size.bit_length() - 1)
+    tw = np.stack(
+        [nttm._powers_host(int(wu[rev[r]]), m).astype(np.uint64)
+         for r in range(size)]
+    )
+    return jnp.asarray(((tw.T << 32) % np.uint64(bb.P)).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_consts():
+    """Montgomery forms of 2^8, 2^16, 2^24 (for the limb fold)."""
+    return tuple(
+        np.uint32(bb.to_monty_int(1 << (8 * i))) for i in range(1, 4)
+    )
+
+
+def _radix_schedule(log_n: int) -> list:
+    """Partition log_n into per-step level counts, remainder first, so the
+    last (twiddle-free, M=1) step is always a full 2^7-point transform."""
+    r0 = log_n % _LOG_B
+    return ([r0] if r0 else []) + [_LOG_B] * (log_n // _LOG_B)
+
+
+# ---------------------------------------------------------------------------
+# Device kernels
+# ---------------------------------------------------------------------------
+
+
+def _pallas_available() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _limb_dots(x, limbs_ref, k1, k2, k3):
+    """In-kernel exact modular matmul: (D @ x) mod p for x [B, T] u32."""
+    accs = [None] * 4
+    for j in range(4):
+        # Mosaic has no direct u32->bf16 cast; hop through i32/f32
+        xj = (
+            ((x >> np.uint32(8 * j)) & np.uint32(0xFF))
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+            .astype(jnp.bfloat16)
+        )
+        for i in range(4):
+            p = jnp.dot(
+                limbs_ref[4 * j + i], xj, preferred_element_type=jnp.float32
+            )
+            accs[i] = p if accs[i] is None else accs[i] + p
+    c = [acc.astype(jnp.int32).astype(jnp.uint32) for acc in accs]
+    y = bb.add(c[0], bb.mul(c[1], k1))
+    y = bb.add(y, bb.mul(c[2], k2))
+    return bb.add(y, bb.mul(c[3], k3))
+
+
+def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
+                 size: int):
+    """One fused radix-`size` step: x[blocks, size, M*rest] -> same shape.
+
+    Single HBM read + write: limb extraction, the 16 bf16 MXU dots, the
+    f32->u32 fold, and the pointwise twiddle all happen in VMEM.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    log_size = size.bit_length() - 1
+    m = 1 << (log_len - log_size)
+    limbs = _matmul_limbs(log_len, inverse, size)
+    tw = _step_twiddles(log_len, inverse, size)
+    k1, k2, k3 = _fold_consts()
+
+    # lane tile: TM twiddle positions x rest_n trailing lanes; TM >= 8
+    # keeps the (TM, size) twiddle block sublane-aligned
+    tm = 1
+    budget = max(_BLOCK_BUDGET // (size * rest_n * 4), 1)
+    while tm < m and (tm < 8 or (tm * 2 <= budget
+                                 and tm * 2 * rest_n <= 4096)):
+        tm *= 2
+    tmc = tm * rest_n
+
+    def kernel(x_ref, limbs_ref, tw_ref, out_ref):
+        y = _limb_dots(x_ref[0], limbs_ref, k1, k2, k3)
+        # twiddle: one broadcast multiply per twiddle position (Mosaic
+        # cannot shape-cast a (B, TM, rest) broadcast down to (B, TMC))
+        for t in range(tm):
+            sl = slice(t * rest_n, (t + 1) * rest_n)
+            out_ref[0, :, sl] = bb.mul(y[:, sl], tw_ref[t][:, None])
+
+    x3 = a.reshape(blocks, size, m * rest_n)
+    return pl.pallas_call(
+        kernel,
+        grid=(blocks, m // tm),
+        in_specs=[
+            pl.BlockSpec((1, size, tmc), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, size, size), lambda b, t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, size), lambda b, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, size, tmc), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.uint32),
+    )(x3, limbs, tw)
+
+
+def _tail_pallas(a, blocks: int, inverse: bool, rest_n: int):
+    """Fused final step: blockwise 128-point transforms (M = 1, no
+    twiddle), batching TB blocks per program to amortize grid overhead."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    limbs = _matmul_limbs(_LOG_B, inverse, _B)
+    k1, k2, k3 = _fold_consts()
+    tb = 1
+    budget = max(_BLOCK_BUDGET // (_B * rest_n * 4), 1)
+    while tb < blocks and tb * 2 <= budget and tb < 16:
+        tb *= 2
+
+    def kernel(x_ref, limbs_ref, out_ref):
+        for b in range(tb):
+            out_ref[b] = _limb_dots(x_ref[b], limbs_ref, k1, k2, k3)
+
+    x3 = a.reshape(blocks, _B, rest_n)
+    return pl.pallas_call(
+        kernel,
+        grid=(blocks // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, _B, rest_n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, _B, _B), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, _B, rest_n), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.uint32),
+    )(x3, limbs)
+
+
+# ---------------------------------------------------------------------------
+# Plain-XLA fallback (CPU jax; also the reference for kernel tests)
+# ---------------------------------------------------------------------------
+
+
+def _mod_matmul(limbs, x):
+    """Exact (D @ x) mod p for u32 x of shape [B, ...]; contracts axis 0."""
+    shape = x.shape
+    b = shape[0]
+    xf = x.reshape(b, -1)
+    k1, k2, k3 = _fold_consts()
+    cs = [None] * 4
+    for j in range(4):
+        xj = ((xf >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(jnp.bfloat16)
+        for i in range(4):
+            prod = jax.lax.dot(
+                limbs[4 * j + i], xj, preferred_element_type=jnp.float32
+            )
+            cs[i] = prod if cs[i] is None else cs[i] + prod
+    c = [ci.astype(jnp.uint32) for ci in cs]
+    y = bb.add(c[0], bb.mul(c[1], k1))
+    y = bb.add(y, bb.mul(c[2], k2))
+    y = bb.add(y, bb.mul(c[3], k3))
+    return y.reshape(shape)
+
+
+def _step_xla(a, blocks, log_len, inverse, rest, size):
+    n = int(a.shape[0])
+    log_size = size.bit_length() - 1
+    m = 1 << (log_len - log_size)
+    x = a.reshape((blocks, size, m) + rest)
+    x = jnp.moveaxis(x, 1, 0)  # [size, blocks, M, ...]
+    y = _mod_matmul(_matmul_limbs(log_len, inverse, size), x)
+    if m > 1:
+        tw = _step_twiddles(log_len, inverse, size).T  # stored (M, size)
+        y = bb.mul(y, tw.reshape((size, 1, m) + (1,) * len(rest)))
+    return jnp.moveaxis(y, 0, 1).reshape((n,) + rest)
+
+
+# ---------------------------------------------------------------------------
+# Public transform
+# ---------------------------------------------------------------------------
+
+
+def dif(a, inverse: bool = False):
+    """Natural-in, bitrev-out DIF over axis 0; bit-identical to ntt.dif.
+
+    a: jnp uint32 [N, ...] Montgomery form, N a power of two >= 128.
+    """
+    n = int(a.shape[0])
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n and log_n >= _LOG_B
+    rest = tuple(a.shape[1:])
+    rest_n = 1
+    for d in rest:
+        rest_n *= int(d)
+    use_pallas = _pallas_available() and rest_n * _B * 4 <= _BLOCK_BUDGET
+    blocks = 1
+    log_len = log_n
+    schedule = _radix_schedule(log_n)
+    for step, log_size in enumerate(schedule):
+        size = 1 << log_size
+        last = step == len(schedule) - 1
+        if use_pallas:
+            if last:
+                a = _tail_pallas(a, blocks, inverse, rest_n)
+            else:
+                a = _step_pallas(a, blocks, log_len, inverse, rest_n, size)
+            a = a.reshape((n,) + rest)
+        else:
+            a = _step_xla(a, blocks, log_len, inverse, rest, size)
+        blocks <<= log_size
+        log_len -= log_size
+    return a

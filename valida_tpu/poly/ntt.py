@@ -20,12 +20,29 @@ passes total.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..field import babybear as bb
 from ..backend import xp_of
+
+
+def _mxu_enabled(a, log_n: int) -> bool:
+    """Route device transforms through the MXU matmul NTT (mxu_ntt.py).
+
+    On by default on the TPU backends for sizes where the [128,128]
+    matmul steps apply; VALIDA_TPU_MXU_NTT=0/1 forces it off/on (1 also
+    enables it on CPU jax, used by the bit-exactness tests)."""
+    if isinstance(a, np.ndarray) or log_n < 7:
+        return False
+    flag = os.environ.get("VALIDA_TPU_MXU_NTT")
+    if flag is not None:
+        return flag != "0"
+    import jax
+
+    return jax.default_backend() in ("tpu", "axon")
 
 # ---------------------------------------------------------------------------
 # Twiddle / permutation caches (host-side, keyed by static shape params)
@@ -98,6 +115,10 @@ def dif(a, inverse: bool = False):
     assert 1 << log_n == n, "NTT size must be a power of two"
     if n == 1:
         return a
+    if _mxu_enabled(a, log_n):
+        from . import mxu_ntt
+
+        return mxu_ntt.dif(a, inverse)
     xp = xp_of(a)
     rest = tuple(a.shape[1:])
     nd = len(rest)
