@@ -36,6 +36,16 @@ def test_mxu_roundtrip_through_public_api(monkeypatch):
     assert (out == x).all()
 
 
+def test_mxu_worst_case_limb_accumulation():
+    """Near-maximal limbs (0x77FFFFFF < p) push the cross-limb sums past
+    2^24 — inexact if the j-accumulation ran in f32 instead of i32."""
+    x = np.full((1 << 8, 4), 0x77FFFFFF, dtype=np.uint32)
+    x[::3] = 0x6FEFDFCF
+    ref = nttm.dif(x)
+    got = np.asarray(mxu_ntt.dif(jnp.asarray(x)))
+    assert (ref == got).all()
+
+
 def test_mxu_radix_schedule():
     assert mxu_ntt._radix_schedule(7) == [7]
     assert mxu_ntt._radix_schedule(14) == [7, 7]

@@ -47,8 +47,10 @@ from ..field import babybear as bb
 _B = 128
 _LOG_B = 7
 
-# VMEM budget for one input block of a kernel program (bytes)
-_BLOCK_BUDGET = 1 << 20
+# VMEM budget for one input block of a kernel program (bytes); the
+# kernel's live set is ~10x the input block (i32/f32 accumulators, limb
+# temps, pipelined in/out buffers) against a 16 MB scoped-vmem limit
+_BLOCK_BUDGET = 1 << 19
 
 
 # ---------------------------------------------------------------------------
@@ -76,49 +78,85 @@ def _dft_matrix(root: int, size: int) -> np.ndarray:
     return pw[exps.astype(np.int64)].astype(np.uint32)
 
 
-@functools.lru_cache(maxsize=None)
-def _matmul_limbs(log_len: int, inverse: bool, out_size: int):
-    """bf16 limb matrices [16, out_size, out_size] for the DFT of the
-    order-(2^log_len) root raised to (len/out_size).  Output rows are
-    pre-permuted to bitrev order so no gather pass is needed."""
-    length = 1 << log_len
-    w = bb.two_adic_generator(log_len)
-    if inverse:
-        w = bb.h_inv(w)
-    w_b = pow(w, length // out_size, bb.P)
-    d = _dft_matrix(w_b, out_size).astype(np.uint64)
-    d = d[np.asarray(_rev_bits(out_size.bit_length() - 1), dtype=np.int64)]
-    limbs = np.zeros((4, 4, out_size, out_size), dtype=np.float32)
+def _bf16(x: np.ndarray) -> np.ndarray:
+    """numpy bf16 (ml_dtypes) — caches must hold CONCRETE host arrays:
+    a jnp conversion inside a traced caller would cache a tracer."""
+    import ml_dtypes
+
+    return np.asarray(x, dtype=ml_dtypes.bfloat16)
+
+
+def _limb_split(d: np.ndarray) -> np.ndarray:
+    """[size, size] canonical u64 -> [16, size, size] bf16 limb pairs."""
+    size = d.shape[0]
+    limbs = np.zeros((4, 4, size, size), dtype=np.float32)
     for j in range(4):
         dj = (d << (8 * j)) % bb.P
         for i in range(4):
             limbs[j, i] = ((dj >> (8 * i)) & 0xFF).astype(np.float32)
-    return jnp.asarray(
-        limbs.reshape(16, out_size, out_size), dtype=jnp.bfloat16
-    )
+    return _bf16(limbs.reshape(16, size, size))
 
 
 @functools.lru_cache(maxsize=None)
-def _step_twiddles(log_len: int, inverse: bool, size: int):
-    """Montgomery table [M, size]: w^(rev(r)*t) for the order-2^log_len
-    root, transposed (Pallas block last-dim alignment) with rows
-    pre-permuted to match _matmul_limbs' output order."""
-    from . import ntt as nttm
+def _matmul_limbs(log_len: int, inverse: bool, radix_log: int):
+    """bf16 limb matrices [16, 128, 128] for a radix-2^radix_log step of
+    the order-(2^log_len) transform, embedded to full MXU width.
 
+    A radix-R step (R = 2^radix_log < 128) on x viewed as [R, M] is the
+    same contraction as a 128-wide step on x viewed as [128, M/rep]
+    (rep = 128/R): flat index i*M + s*(M/rep) + t_lo = (i*rep + s)*(M/rep)
+    + t_lo, so the 128-matrix is kron(D_R, I_rep) — every step runs as a
+    full [128,128] MXU matmul.  Output rows are pre-permuted to bitrev
+    order so no gather pass is needed."""
     length = 1 << log_len
-    m = length // size
+    size = 1 << radix_log
+    rep = _B // size
     w = bb.two_adic_generator(log_len)
     if inverse:
         w = bb.h_inv(w)
-    wu = np.ones(size, dtype=np.uint64)
-    for k in range(1, size):
-        wu[k] = wu[k - 1] * w % bb.P
-    rev = _rev_bits(size.bit_length() - 1)
-    tw = np.stack(
-        [nttm._powers_host(int(wu[rev[r]]), m).astype(np.uint64)
-         for r in range(size)]
-    )
-    return jnp.asarray(((tw.T << 32) % np.uint64(bb.P)).astype(np.uint32))
+    w_b = pow(w, length // size, bb.P)
+    d = _dft_matrix(w_b, size).astype(np.uint64)
+    d = d[np.asarray(_rev_bits(radix_log), dtype=np.int64)]
+    if rep > 1:
+        d = np.kron(d, np.eye(rep, dtype=np.uint64))
+    return _limb_split(d)
+
+
+@functools.lru_cache(maxsize=None)
+def _tail_limbs(inverse: bool):
+    """bf16 limb matrices for the final (M=1) 128-point transform."""
+    w = bb.two_adic_generator(_LOG_B)
+    if inverse:
+        w = bb.h_inv(w)
+    d = _dft_matrix(w, _B).astype(np.uint64)
+    d = d[np.asarray(_rev_bits(_LOG_B), dtype=np.int64)]
+    return _limb_split(d)
+
+
+@functools.lru_cache(maxsize=None)
+def _step_twiddles(log_len: int, inverse: bool, radix_log: int):
+    """Montgomery table [M4, 128] (transposed for Pallas block alignment)
+    matching _matmul_limbs' embedded row order: row a*rep + s at lane t_lo
+    holds w^(rev(a) * (s*M4 + t_lo)), M4 = 2^(log_len-7)."""
+    from . import ntt as nttm
+
+    size = 1 << radix_log
+    rep = _B // size
+    m4 = 1 << (log_len - _LOG_B)
+    w = bb.two_adic_generator(log_len)
+    if inverse:
+        w = bb.h_inv(w)
+    rev = _rev_bits(radix_log)
+    rows = []
+    for a in range(size):
+        u = rev[a]
+        wu = pow(w, u, bb.P)
+        row_base = nttm._powers_host(wu, m4).astype(np.uint64)  # w^(u*t_lo)
+        for s in range(rep):
+            scale = np.uint64(pow(wu, s * m4, bb.P))
+            rows.append(row_base * scale % np.uint64(bb.P))
+    tw = np.stack(rows)
+    return ((tw.T << 32) % np.uint64(bb.P)).astype(np.uint32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -146,7 +184,10 @@ def _pallas_available() -> bool:
 
 
 def _limb_dots(x, limbs_ref, k1, k2, k3):
-    """In-kernel exact modular matmul: (D @ x) mod p for x [B, T] u32."""
+    """In-kernel exact modular matmul: (D @ x) mod p for x [B, T] u32.
+
+    Each dot's f32 accumulation is <= 128*255^2 < 2^24 (exact); the
+    cross-limb j-sum can reach 4x that, so it MUST accumulate in i32."""
     accs = [None] * 4
     for j in range(4):
         # Mosaic has no direct u32->bf16 cast; hop through i32/f32
@@ -159,17 +200,18 @@ def _limb_dots(x, limbs_ref, k1, k2, k3):
         for i in range(4):
             p = jnp.dot(
                 limbs_ref[4 * j + i], xj, preferred_element_type=jnp.float32
-            )
+            ).astype(jnp.int32)
             accs[i] = p if accs[i] is None else accs[i] + p
-    c = [acc.astype(jnp.int32).astype(jnp.uint32) for acc in accs]
+    c = [acc.astype(jnp.uint32) for acc in accs]
     y = bb.add(c[0], bb.mul(c[1], k1))
     y = bb.add(y, bb.mul(c[2], k2))
     return bb.add(y, bb.mul(c[3], k3))
 
 
 def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
-                 size: int):
-    """One fused radix-`size` step: x[blocks, size, M*rest] -> same shape.
+                 radix_log: int):
+    """One fused step (any radix, embedded to a [128,128] matmul):
+    x[blocks, 128, M4*rest] -> same shape.
 
     Single HBM read + write: limb extraction, the 16 bf16 MXU dots, the
     f32->u32 fold, and the pointwise twiddle all happen in VMEM.
@@ -177,18 +219,17 @@ def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    log_size = size.bit_length() - 1
-    m = 1 << (log_len - log_size)
-    limbs = _matmul_limbs(log_len, inverse, size)
-    tw = _step_twiddles(log_len, inverse, size)
+    m4 = 1 << (log_len - _LOG_B)
+    limbs = _matmul_limbs(log_len, inverse, radix_log)
+    tw = _step_twiddles(log_len, inverse, radix_log)
     k1, k2, k3 = _fold_consts()
 
     # lane tile: TM twiddle positions x rest_n trailing lanes; TM >= 8
-    # keeps the (TM, size) twiddle block sublane-aligned
+    # keeps the (TM, 128) twiddle block sublane-aligned
     tm = 1
-    budget = max(_BLOCK_BUDGET // (size * rest_n * 4), 1)
-    while tm < m and (tm < 8 or (tm * 2 <= budget
-                                 and tm * 2 * rest_n <= 4096)):
+    budget = max(_BLOCK_BUDGET // (_B * rest_n * 4), 1)
+    while tm < m4 and (tm < 8 or (tm * 2 <= budget
+                                  and tm * 2 * rest_n <= 2048)):
         tm *= 2
     tmc = tm * rest_n
 
@@ -200,19 +241,19 @@ def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
             sl = slice(t * rest_n, (t + 1) * rest_n)
             out_ref[0, :, sl] = bb.mul(y[:, sl], tw_ref[t][:, None])
 
-    x3 = a.reshape(blocks, size, m * rest_n)
+    x3 = a.reshape(blocks, _B, m4 * rest_n)
     return pl.pallas_call(
         kernel,
-        grid=(blocks, m // tm),
+        grid=(blocks, m4 // tm),
         in_specs=[
-            pl.BlockSpec((1, size, tmc), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, _B, tmc), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, size, size), lambda b, t: (0, 0, 0),
+            pl.BlockSpec((16, _B, _B), lambda b, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, size), lambda b, t: (t, 0),
+            pl.BlockSpec((tm, _B), lambda b, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, size, tmc), lambda b, t: (b, 0, t),
+        out_specs=pl.BlockSpec((1, _B, tmc), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.uint32),
     )(x3, limbs, tw)
@@ -224,7 +265,7 @@ def _tail_pallas(a, blocks: int, inverse: bool, rest_n: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    limbs = _matmul_limbs(_LOG_B, inverse, _B)
+    limbs = _tail_limbs(inverse)
     k1, k2, k3 = _fold_consts()
     tb = 1
     budget = max(_BLOCK_BUDGET // (_B * rest_n * 4), 1)
@@ -257,18 +298,22 @@ def _tail_pallas(a, blocks: int, inverse: bool, rest_n: int):
 
 
 def _mod_matmul(limbs, x):
-    """Exact (D @ x) mod p for u32 x of shape [B, ...]; contracts axis 0."""
+    """Exact (D @ x) mod p for u32 x of shape [B, ...]; contracts axis 0.
+
+    Same exactness discipline as _limb_dots: per-dot f32 sums < 2^24,
+    cross-limb accumulation in i32."""
     shape = x.shape
     b = shape[0]
     xf = x.reshape(b, -1)
     k1, k2, k3 = _fold_consts()
+    limbs = jnp.asarray(limbs)
     cs = [None] * 4
     for j in range(4):
         xj = ((xf >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(jnp.bfloat16)
         for i in range(4):
             prod = jax.lax.dot(
                 limbs[4 * j + i], xj, preferred_element_type=jnp.float32
-            )
+            ).astype(jnp.int32)
             cs[i] = prod if cs[i] is None else cs[i] + prod
     c = [ci.astype(jnp.uint32) for ci in cs]
     y = bb.add(c[0], bb.mul(c[1], k1))
@@ -277,16 +322,22 @@ def _mod_matmul(limbs, x):
     return y.reshape(shape)
 
 
-def _step_xla(a, blocks, log_len, inverse, rest, size):
+def _step_xla(a, blocks, log_len, inverse, rest, radix_log):
     n = int(a.shape[0])
-    log_size = size.bit_length() - 1
-    m = 1 << (log_len - log_size)
-    x = a.reshape((blocks, size, m) + rest)
-    x = jnp.moveaxis(x, 1, 0)  # [size, blocks, M, ...]
-    y = _mod_matmul(_matmul_limbs(log_len, inverse, size), x)
-    if m > 1:
-        tw = _step_twiddles(log_len, inverse, size).T  # stored (M, size)
-        y = bb.mul(y, tw.reshape((size, 1, m) + (1,) * len(rest)))
+    m4 = 1 << (log_len - _LOG_B)
+    x = a.reshape((blocks, _B, m4) + rest)
+    x = jnp.moveaxis(x, 1, 0)  # [128, blocks, M4, ...]
+    y = _mod_matmul(_matmul_limbs(log_len, inverse, radix_log), x)
+    tw = jnp.asarray(_step_twiddles(log_len, inverse, radix_log)).T
+    y = bb.mul(y, tw.reshape((_B, 1, m4) + (1,) * len(rest)))
+    return jnp.moveaxis(y, 0, 1).reshape((n,) + rest)
+
+
+def _tail_xla(a, blocks, inverse, rest):
+    n = int(a.shape[0])
+    x = a.reshape((blocks, _B) + rest)
+    x = jnp.moveaxis(x, 1, 0)
+    y = _mod_matmul(_tail_limbs(inverse), x)
     return jnp.moveaxis(y, 0, 1).reshape((n,) + rest)
 
 
@@ -311,17 +362,20 @@ def dif(a, inverse: bool = False):
     blocks = 1
     log_len = log_n
     schedule = _radix_schedule(log_n)
-    for step, log_size in enumerate(schedule):
-        size = 1 << log_size
+    for step, radix_log in enumerate(schedule):
         last = step == len(schedule) - 1
-        if use_pallas:
-            if last:
+        if last:
+            assert radix_log == _LOG_B and log_len == _LOG_B
+            if use_pallas:
                 a = _tail_pallas(a, blocks, inverse, rest_n)
+                a = a.reshape((n,) + rest)
             else:
-                a = _step_pallas(a, blocks, log_len, inverse, rest_n, size)
+                a = _tail_xla(a, blocks, inverse, rest)
+        elif use_pallas:
+            a = _step_pallas(a, blocks, log_len, inverse, rest_n, radix_log)
             a = a.reshape((n,) + rest)
         else:
-            a = _step_xla(a, blocks, log_len, inverse, rest, size)
-        blocks <<= log_size
-        log_len -= log_size
+            a = _step_xla(a, blocks, log_len, inverse, rest, radix_log)
+        blocks <<= radix_log
+        log_len -= radix_log
     return a
