@@ -109,3 +109,20 @@ def test_frobenius_is_pth_power():
     frob = np.asarray(bb.from_monty(ext.frobenius(am)))
     want = ext.e_exp(a, bb.P)
     np.testing.assert_array_equal(frob, np.array(want, dtype=np.uint32))
+
+
+def test_inv_batch_matches_inv():
+    """Product-tree batch inversion is bit-identical to exp-based inv,
+    including zeros and non-power-of-two sizes."""
+    import numpy as np
+    from valida_tpu.field import babybear as bb
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, bb.P, size=777, dtype=np.uint32)
+    a[::13] = 0
+    am = bb.to_monty(a)
+    assert (bb.inv_batch(am) == bb.inv(am)).all()
+    # 2-D shape and scalar-ish sizes
+    b = am[:64].reshape(8, 8)
+    assert (bb.inv_batch(b) == bb.inv(b)).all()
+    assert (bb.inv_batch(am[:1]) == bb.inv(am[:1])).all()

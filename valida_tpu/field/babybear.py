@@ -199,6 +199,42 @@ def inv(a):
     return exp(a, P - 2)
 
 
+def inv_batch(a):
+    """Elementwise inverse with 0 -> 0 via a product-tree batch inversion.
+
+    ~3 Montgomery multiplies per element (up-sweep products, one exp at
+    the root, down-sweep unwinding inv(x0) = inv(x0*x1)*x1) instead of
+    exp()'s ~31 square-and-multiply rounds — the device-side form of the
+    reference's batch_multiplicative_inverse (`util/src/lib.rs:21-43`).
+    Bit-identical results to inv()."""
+    xp = xp_of(a)
+    shape = a.shape
+    flat = a.reshape(-1)
+    n = int(flat.shape[0])
+    if n <= 1:
+        return inv(a)
+    zero = flat == 0
+    one = np.uint32(R1)  # Montgomery 1
+    flat = xp.where(zero, one, flat)
+    size = 1 << (n - 1).bit_length()
+    if size != n:
+        flat = xp.concatenate(
+            [flat, xp.full((size - n,), one, dtype=flat.dtype)]
+        )
+    levels = [flat]
+    while levels[-1].shape[0] > 1:
+        x = levels[-1]
+        levels.append(mul(x[0::2], x[1::2]))
+    invs = inv(levels[-1])
+    for x in levels[-2::-1]:
+        left = x[0::2]
+        right = x[1::2]
+        pair = xp.stack([mul(invs, right), mul(invs, left)], axis=1)
+        invs = pair.reshape(x.shape[0])
+    out = xp.where(zero, np.uint32(0), invs[:n])
+    return out.reshape(shape)
+
+
 def monty_scalar(x: int) -> int:
     """Python-int canonical value -> Montgomery-form python int."""
     return (x << 32) % P

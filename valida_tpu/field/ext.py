@@ -104,7 +104,7 @@ def ext_inv(a):
     # norm = a * r  (lands in base field: coefficient 0)
     norm = ext_mul(a, r)
     norm0 = norm[..., 0]
-    inv_norm = bb.inv(norm0)
+    inv_norm = bb.inv_batch(norm0)
     return ext_mul_base(r, inv_norm)
 
 
