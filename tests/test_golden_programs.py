@@ -117,9 +117,10 @@ def test_prove_static_data():
 
 def test_prove_storeu8_fresh_address():
     """STOREU8 into a never-written cell, proved with the (enabled) memory
-    argument: the read-modify-write merge read is an unlogged host-side
-    peek (the reference's 3-reads-on-3-channels op can never be bus
-    balanced; docs/deviations.md)."""
+    argument: the read-modify-write merge read is logged (read_or_init,
+    cpu/src/lib.rs:687) and proved via the byte chip's memory-bus send —
+    the zero-init first-touch read is admitted by the memory AIR with the
+    value pinned to 0 (docs/deviations.md)."""
     program = [
         iw(OC.IMM32, -4, 0, 0, 0, 0x41),   # LSB 0x41 -> byte address fp-4
         iw(OC.IMM32, -8, 0, 2, 0, 1),      # target byte address 0x20001
@@ -133,6 +134,57 @@ def test_prove_storeu8_fresh_address():
     # byte addr 0x20001 lands in BE slot 2 of the swapped word
     assert cells[0x20000] == 0x4100
     assert cells[0x1000 - 12] == 0x41
+
+
+def test_prove_byte_ops_every_slot():
+    """LOADU8/LOADS8/STOREU8 across all four byte positions, with signed
+    and unsigned extension — the byte chip proves the extraction, sign,
+    alignment, and merge (chips/byte.py; the reference leaves every byte-op
+    channel unconstrained)."""
+    program = [
+        iw(OC.IMM32, -4, 0x80, 0x7F, 0xFE, 0x01),  # word under test
+        # pointer cells for byte addresses of fp-4 = 0xFFC + 0..3
+        iw(OC.IMM32, -8, 0, 0, 0x0F, 0xFC),
+        iw(OC.IMM32, -12, 0, 0, 0x0F, 0xFD),
+        iw(OC.IMM32, -16, 0, 0, 0x0F, 0xFE),
+        iw(OC.IMM32, -20, 0, 0, 0x0F, 0xFF),
+        # unsigned loads of each byte (BE word, LE byte addressing)
+        iw(OC.LOADU8, -24, 0, -8, 0, 0),    # addr+0 -> LSB 0x01
+        iw(OC.LOADU8, -28, 0, -12, 0, 0),   # addr+1 -> 0xFE
+        iw(OC.LOADU8, -32, 0, -16, 0, 0),   # addr+2 -> 0x7F
+        iw(OC.LOADU8, -36, 0, -20, 0, 0),   # addr+3 -> MSB 0x80
+        # signed loads of a negative and a positive byte
+        iw(OC.LOADS8, -40, 0, -12, 0, 0),   # 0xFE -> 0xFFFFFFFE
+        iw(OC.LOADS8, -44, 0, -16, 0, 0),   # 0x7F -> 0x7F
+        # storeu8: write byte 0xAB into each slot of a fresh word at 0x2000
+        iw(OC.IMM32, -48, 0, 0, 0, 0xAB),
+        iw(OC.IMM32, -52, 0, 0, 0x20, 0x00),
+        iw(OC.IMM32, -56, 0, 0, 0x20, 0x01),
+        iw(OC.IMM32, -60, 0, 0, 0x20, 0x02),
+        iw(OC.IMM32, -64, 0, 0, 0x20, 0x03),
+        iw(OC.STOREU8, 0, -52, -48, 0, 0),
+        iw(OC.STOREU8, 0, -56, -48, 0, 0),
+        iw(OC.STOREU8, 0, -60, -48, 0, 0),
+        iw(OC.STOREU8, 0, -64, -48, 0, 0),
+        iw(OC.STOP),
+    ]
+    m = prove_program(program)
+    cells = m.mem().cells
+    assert cells[0x1000 - 24] == 0x01
+    assert cells[0x1000 - 28] == 0xFE
+    assert cells[0x1000 - 32] == 0x7F
+    assert cells[0x1000 - 36] == 0x80
+    assert cells[0x1000 - 40] == 0xFFFFFFFE
+    assert cells[0x1000 - 44] == 0x7F
+    # update_byte byte-swaps the accumulating word each store
+    # (core.rs:48-57); final content per the reference semantics
+    from valida_tpu.core.word import update_byte, index_of_byte
+
+    acc = 0
+    for ba in (0x2000, 0x2001, 0x2002, 0x2003):
+        acc = update_byte(acc, 0xAB, index_of_byte(ba))
+    # (each store swaps the previous content, so this is NOT 0xABABABAB)
+    assert cells[0x2000] == acc == 0xAB00AB00
 
 
 def test_prove_signed_alu():

@@ -247,3 +247,98 @@ def test_debug_checker_catches_bad_mulh_high_word():
     trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
     trace[0, MUL_HIU[2]] = (trace[0, MUL_HIU[2]] + 1) % 256
     _expect_row_violation(m, chip, trace)
+
+
+def _byte_op_machine():
+    from valida_tpu.core import opcodes as OC
+    from valida_tpu.core.advice import FixedAdviceProvider
+    from valida_tpu.core.program import ProgramROM, InstructionWord, Operands
+    from valida_tpu.machine.basic import BasicMachine
+
+    def iw(opcode, a=0, b=0, c=0, d=0, e=0):
+        return InstructionWord(opcode, Operands((a, b, c, d, e)))
+
+    program = [
+        iw(OC.IMM32, -4, 0x80, 0x7F, 0xFE, 0x01),
+        iw(OC.IMM32, -8, 0, 0, 0x0F, 0xFD),     # byte address 0xFFD
+        iw(OC.LOADS8, -12, 0, -8, 0, 0),        # 0xFE -> 0xFFFFFFFE
+        iw(OC.IMM32, -16, 0, 0, 0x20, 0x02),
+        iw(OC.STOREU8, 0, -16, -8, 0, 0),       # merge into fresh 0x2000
+        iw(OC.STOP),
+    ]
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(program))
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    m.run(advice=FixedAdviceProvider.empty())
+    return m
+
+
+def test_debug_checker_catches_lying_byte_selection():
+    from valida_tpu.chips.byte import SEL
+
+    m = _byte_op_machine()
+    chip = m.byte()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    trace[0, SEL] = (trace[0, SEL] + 1) % 256  # claim a different byte
+    _expect_row_violation(m, chip, trace)
+
+
+def test_debug_checker_catches_lying_byte_index():
+    from valida_tpu.chips.byte import B0, SRC_AL
+
+    m = _byte_op_machine()
+    chip = m.byte()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    # shift the claimed in-word index without moving the aligned address:
+    # src_ptr = src_al + 2*b1 + b0 must then fail
+    trace[0, B0] ^= 1
+    _expect_row_violation(m, chip, trace)
+
+
+def test_debug_checker_catches_unaligned_byte_base():
+    from valida_tpu.chips.byte import SRC_AL, B0
+
+    m = _byte_op_machine()
+    chip = m.byte()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    # claim an unaligned "aligned" base compensated through b0: the q-limb
+    # decomposition (src_al = 4*q) can no longer hold
+    trace[0, SRC_AL] += 1
+    trace[0, B0] -= 1
+    _expect_row_violation(m, chip, trace)
+
+
+def test_debug_checker_catches_lying_merge():
+    from valida_tpu.chips.byte import IS_ST, MERGED, OUT
+
+    m = _byte_op_machine()
+    chip = m.byte()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    st_rows = np.nonzero(trace[:, IS_ST])[0]
+    r = int(st_rows[0])
+    # tamper an untouched byte of the merged word (and the matching out)
+    for col in (MERGED[0], OUT[0]):
+        trace[r, col] = (trace[r, col] + 1) % 256
+    _expect_row_violation(m, chip, trace)
+
+
+def test_bus_debug_catches_lying_sign_extension():
+    """Claiming a negative byte is positive satisfies the in-row AIR but
+    puts 2*(sel - 128*sign) = 508 on the 8-bit range bus — caught as a
+    range-bus imbalance (and by the cumulative-sum check in a proof)."""
+    from valida_tpu.air.bus_debug import report_imbalances
+    from valida_tpu.chips.byte import IS_S8, SIGN, OUT
+
+    m = _byte_op_machine()
+    chip = m.byte()
+    trace = np.asarray(chip.generate_trace(m), dtype=np.uint32).copy()
+    s8_rows = np.nonzero(trace[:, IS_S8])[0]
+    r = int(s8_rows[0])
+    # claim the negative byte 0xFE is positive
+    trace[r, SIGN] = 0
+    for j in range(3):
+        trace[r, OUT[j]] = 0
+    chip.generate_trace = lambda machine: trace
+    report = report_imbalances(m)
+    assert "bus" in report and "508" in report

@@ -200,7 +200,13 @@ class CpuChip(Chip):
             cum_excl = np.cumsum(read_mask) - read_mask
             rank = cum_excl - cum_excl[group_start]
             is_left = left_imm[mclk]
-            ch = np.where(mwrite, 2, np.where((rank == 0) & ~is_left, 0, 1))
+            # reads: rank 0 -> channel 0 (1 for left-imm ops), rank 1 -> 1;
+            # rank-2 reads (the STOREU8 merge) belong to the byte chip's
+            # memory-bus send, not a CPU channel
+            ch = np.where(
+                mwrite, 2,
+                np.where((rank == 0) & ~is_left, 0, np.where(rank <= 1, 1, -1))
+            )
             for ch_id in range(3):
                 sel = ch == ch_id
                 tgt = mclk[sel]
@@ -281,6 +287,35 @@ class CpuChip(Chip):
                 Interaction(fields=fields, count=VPCol.one(),
                             bus=machine.program_bus())
             )
+        # byte bus: delegate byte extraction / sign extension / merge to
+        # the byte chip (no reference counterpart — byte-op channels are
+        # unconstrained there; chips/byte.py).  Message shape:
+        # (opcode, clk, src byte ptr, src aligned addr, src word,
+        #  dst byte ptr, dst aligned addr, written word)
+        if getattr(machine, "byte_bus", None) is not None \
+                and machine.byte_bus() is not None:
+            base = [1 << 24, 1 << 16, 1 << 8, 1]
+            ch0_word = VPCol(
+                [(("main", MC_VALUE[0][i]), base[i]) for i in range(4)])
+            common_mid = [VPCol.single_main(MC_ADDR[1])] + [
+                VPCol.single_main(MC_VALUE[1][i]) for i in range(4)]
+            common_tail = [VPCol.single_main(MC_ADDR[2])] + [
+                VPCol.single_main(MC_VALUE[2][i]) for i in range(4)]
+            # LOADU8/LOADS8: src ptr was read on ch0, dst ptr is fp + a
+            fields = ([VPCol.single_main(OPCODE), VPCol.single_main(CLK),
+                       ch0_word] + common_mid
+                      + [VPCol.sum_main([FP, OPERANDS[0]])] + common_tail)
+            sends.append(Interaction(
+                fields=fields,
+                count=VPCol.sum_main([IS_LOAD_U8, IS_LOAD_S8]),
+                bus=machine.byte_bus()))
+            # STOREU8: src ptr is fp + c, dst ptr was read on ch0
+            fields = ([VPCol.single_main(OPCODE), VPCol.single_main(CLK),
+                       VPCol.sum_main([FP, OPERANDS[2]])] + common_mid
+                      + [ch0_word] + common_tail)
+            sends.append(Interaction(
+                fields=fields, count=VPCol.single_main(IS_STORE_U8),
+                bus=machine.byte_bus()))
         return sends
 
     # -- AIR (cpu/src/stark.rs) ---------------------------------------------
@@ -360,8 +395,15 @@ class CpuChip(Chip):
         b.assert_zero((one - local[NOT_EQUAL]) * local[DIFF])
 
         # memory channels
+        is_u8 = local[IS_LOAD_U8]
+        is_s8 = local[IS_LOAD_S8]
+        is_su8 = local[IS_STORE_U8]
+        is_advice = local[IS_ADVICE]
+        is_stop = local[IS_STOP]
+        byte_any = is_u8 + is_s8 + is_su8
         for f in [is_load, is_store, is_jal, is_jalv, is_beq, is_bne,
-                  is_imm32, is_loadfp, is_imm_op, is_left_imm_op, is_bus_op]:
+                  is_imm32, is_loadfp, is_imm_op, is_left_imm_op, is_bus_op,
+                  is_u8, is_s8, is_su8, is_advice, is_stop]:
             b.assert_bool(f)
 
         # Intended-design fix: bus-ops-with-memory (WRITE) perform a single
@@ -389,30 +431,37 @@ class CpuChip(Chip):
             read1, addr_b
         )
         b.when(is_load + is_store).assert_eq(read1, addr_c)
+        # byte ops (deviation: unconstrained in the reference): the loads
+        # read the src byte pointer from fp+c, STOREU8 reads the dst byte
+        # pointer from fp+b
+        b.when(is_u8 + is_s8).assert_eq(read1, addr_c)
+        b.when(is_su8).assert_eq(read1, addr_b)
         b.when(
             is_load + is_store + is_jalv + is_beq + is_bne
-            + (one - is_left_imm_op) * is_bus_op
+            + (one - is_left_imm_op) * is_bus_op + byte_any
         ).assert_one(local[MC_USED[0]])
-        b.when(is_jal + is_left_imm_op + is_loadfp + is_imm32).assert_zero(
-            local[MC_USED[0]]
-        )
+        b.when(is_jal + is_left_imm_op + is_loadfp + is_imm32 + is_advice
+               + is_stop).assert_zero(local[MC_USED[0]])
 
         b.when(is_load).assert_eq(read2, reduce(MC_VALUE[0], local))
         b.when(is_store).assert_eq(read2, addr_b)
         b.when(is_jalv + (one - is_imm_op) * is_pure_bus).assert_eq(read2, addr_c)
+        # byte ops use ch1 for the aligned source word; its address is
+        # constrained by the byte chip (MC_ADDR[1] is a byte-bus field)
         b.when(
             is_load + is_store + is_jalv
-            + (one - is_imm_op) * (is_beq + is_bne + is_pure_bus)
+            + (one - is_imm_op) * (is_beq + is_bne + is_pure_bus) + byte_any
         ).assert_one(local[MC_USED[1]])
         b.when(
             is_jal + is_imm_op * (is_beq + is_bne + is_pure_bus) + is_loadfp
-            + is_imm32 + is_with_mem
+            + is_imm32 + is_with_mem + is_advice + is_stop
         ).assert_zero(local[MC_USED[1]])
 
-        b.when(is_load + is_jal + is_jalv + is_imm32 + is_pure_bus + is_loadfp).assert_eq(
-            write, addr_a
-        )
+        b.when(is_load + is_jal + is_jalv + is_imm32 + is_pure_bus + is_loadfp
+               + is_advice).assert_eq(write, addr_a)
         b.when(is_store).assert_eq(write, reduce(MC_VALUE[1], local))
+        # byte-op write addresses (aligned) are constrained by the byte
+        # chip (MC_ADDR[2] is a byte-bus field)
 
         def word_eq_sq(wa, wb_idx):
             acc = None
@@ -436,9 +485,12 @@ class CpuChip(Chip):
         b.when(is_imm32).assert_zero(acc)
         b.when(is_loadfp).assert_eq(addr_b, reduce(MC_VALUE[2], local))
         b.when(
-            is_store + is_load + is_jal + is_jalv + is_imm32 + is_loadfp + is_pure_bus
+            is_store + is_load + is_jal + is_jalv + is_imm32 + is_loadfp
+            + is_pure_bus + byte_any + is_advice
         ).assert_one(local[MC_USED[2]])
-        b.when(is_beq + is_bne + is_with_mem).assert_zero(local[MC_USED[2]])
+        b.when(is_beq + is_bne + is_with_mem + is_stop).assert_zero(
+            local[MC_USED[2]]
+        )
 
         # clock constraints
         b.when_first_row().assert_zero(local[CLK])
@@ -485,30 +537,28 @@ def ex_load32(m, ops):
     cpu.push_op("load", None, OC.LOAD32, ops)
 
 
-def ex_loadu8(m, ops):
+def _ex_load_byte(m, ops, opcode, kind, extend):
+    from .byte import register_range_checks
+
     cpu = m.cpu()
     clk = cpu.clock
     ra_loc = (cpu.fp + ops.c()) & MASK32
-    ra = _rd(m, ra_loc, 0, OC.LOADU8)
-    cell = _rd(m, addr_of_word(ra), 1, OC.LOADU8)
+    ra = _rd(m, ra_loc, 0, opcode)
+    cell = _rd(m, addr_of_word(ra), 1, opcode)
     byte = u32_to_bytes(cell)[index_of_byte(ra)]
     wa = addr_of_word((cpu.fp + ops.a()) & MASK32)
-    m.mem().write(clk, wa, byte, True)
+    m.mem().write(clk, wa, extend(byte), True)
+    register_range_checks(m, addr_of_word(ra), wa, byte)
     cpu.pc += 1
-    cpu.push_op("load_u8", None, OC.LOADU8, ops)
+    cpu.push_op(kind, None, opcode, ops)
+
+
+def ex_loadu8(m, ops):
+    _ex_load_byte(m, ops, OC.LOADU8, "load_u8", lambda b: b)
 
 
 def ex_loads8(m, ops):
-    cpu = m.cpu()
-    clk = cpu.clock
-    ra_loc = (cpu.fp + ops.c()) & MASK32
-    ra = _rd(m, ra_loc, 0, OC.LOADS8)
-    cell = _rd(m, addr_of_word(ra), 1, OC.LOADS8)
-    byte = u32_to_bytes(cell)[index_of_byte(ra)]
-    wa = addr_of_word((cpu.fp + ops.a()) & MASK32)
-    m.mem().write(clk, wa, sign_extend_byte(byte), True)
-    cpu.pc += 1
-    cpu.push_op("load_s8", None, OC.LOADS8, ops)
+    _ex_load_byte(m, ops, OC.LOADS8, "load_s8", sign_extend_byte)
 
 
 def ex_store32(m, ops):
@@ -527,6 +577,8 @@ def ex_store32(m, ops):
 
 
 def ex_storeu8(m, ops):
+    from .byte import register_range_checks
+
     cpu = m.cpu()
     clk = cpu.clock
     ra = (cpu.fp + ops.c()) & MASK32
@@ -535,8 +587,11 @@ def ex_storeu8(m, ops):
     cell = _rd(m, addr_of_word(ra), 1, OC.STOREU8)
     byte = u32_to_bytes(cell)[index_of_byte(ra)]
     wa_idx = addr_of_word(wa)
-    cur = m.mem().peek(wa_idx)
+    # the read-modify-write merge read is LOGGED (read_or_init, mirroring
+    # cpu/src/lib.rs:687) and proved via the byte chip's memory-bus send
+    cur = m.mem().read_or_init(clk, wa_idx, True)
     m.mem().write(clk, wa_idx, update_byte(cur, byte, index_of_byte(wa)), True)
+    register_range_checks(m, addr_of_word(ra), wa_idx, byte)
     cpu.pc += 1
     cpu.push_op("store_u8", None, OC.STOREU8, ops)
 

@@ -15,13 +15,21 @@ machinery disabled (`memory/src/stark.rs:22-78`, `memory/src/lib.rs:
   multiplicity), proving the sort order and clk monotonicity;
 * constraints: flag booleanity, addr_not_equal correctness, diff
   definition, read value consistency at unchanged addresses, first-touch
-  of an address must not be a read (read-before-write soundness; row 0
-  included), counter chaining.
+  non-write rows carry value 0 (zero-initialized-memory semantics — the
+  reference's STOREU8 merge uses `read_or_init`, cpu/src/lib.rs:687, so a
+  read's first touch of an address must be provable, with value pinned to
+  the init default 0), counter chaining.
 
-Note: STOREU8's read-modify-write merge read is host-side only (`peek`,
-unlogged) — the CPU has 3 memory channels but the op would need 3 reads +
-1 write; the reference has the same inconsistency and only sidesteps it
-because its memory argument is disabled.  See docs/deviations.md.
+Same-clk ordering: one instruction can read and write the same address in
+one cycle (STOREU8's read-modify-write merge, LOAD32 to its own source).
+The sort diff on an unchanged address is phase-weighted,
+``2*(clk' - clk) + phase' - phase`` with ``phase = 1 - is_read -
+2*is_static_initial`` (static -1, read 0, write/dummy +1), so the range
+check proves static-init < reads < writes within a clk — a prover cannot
+reorder a same-clk read after the write to leak the new value into the
+merge.  (Consequence: an op that READS an address it already WROTE at the
+same clk — JALV with overlapping operand slots — is unprovable; the
+execution order of every op is reads-then-write.)  See docs/deviations.md.
 """
 
 from __future__ import annotations
@@ -83,12 +91,8 @@ class MemoryChip(Chip):
         return value
 
     def peek(self, address):
-        """Unlogged read (0 if uninitialized) — for read-modify-write ops
-        whose proof sees only the final write (STOREU8): the CPU has 3
-        memory channels but the op needs 3 reads + 1 write, so the merge
-        read stays host-side (the reference has the same inconsistency and
-        sidesteps it only because its memory argument is disabled,
-        cpu/src/lib.rs:646-697, memory/src/stark.rs:22-78)."""
+        """Unlogged read (0 if uninitialized) — debugger/host inspection
+        only; never use for proved semantics (use read / read_or_init)."""
         return self.cells.get(address, 0)
 
     def write(self, clk, address, value, log):
@@ -131,7 +135,12 @@ class MemoryChip(Chip):
         if not rows:
             return [(0, 0, 0, 0)]
 
-        table_len = len(rows)
+        # diff bound T: addr deltas use T directly; clk deltas are
+        # phase-weighted (2*gap + phase delta <= 2*step + 2), so the clk
+        # step is (T - 2) // 2.  The final trace is padded so the counter
+        # range 0..n2-1 covers every emitted diff.
+        table_len = max(4, len(rows))
+        clk_step = max(1, (table_len - 2) // 2)
         out = []
         for i, row in enumerate(rows):
             out.append(row)
@@ -150,15 +159,15 @@ class MemoryChip(Chip):
             else:
                 gap = nclk - clk
                 k = 1
-                while gap > table_len:
-                    out.append((clk + k * table_len, 0, addr, value))
-                    gap -= table_len
+                while 2 * gap + 2 > table_len:
+                    out.append((clk + k * clk_step, 0, addr, value))
+                    gap -= clk_step
                     k += 1
-        # pad to a power of two with dummies at the last (addr, clk)
-        n = len(out)
+        # pad to a power of two >= every diff, dummies at the last (addr, clk)
+        n = max(len(out), table_len + 1)
         n2 = 1 << max((n - 1).bit_length(), 0)
         last = out[-1]
-        out += [(last[0], 0, last[2], last[3])] * (n2 - n)
+        out += [(last[0], 0, last[2], last[3])] * (n2 - len(out))
         return out
 
     def generate_trace(self, machine):
@@ -178,9 +187,12 @@ class MemoryChip(Chip):
         rows[:, IS_STATIC_INITIAL] = (kind == 3).astype(np.uint32)
         rows[:, COUNTER] = np.arange(n2, dtype=np.uint32)
 
-        # diff / diff_inv / addr_not_equal witnesses
+        # diff / diff_inv / addr_not_equal witnesses; clk deltas are
+        # phase-weighted (static -1 < read 0 < write/dummy +1) to prove
+        # same-clk ordering — see module docstring
         addr_delta = addr[1:] - addr[:-1]
-        clk_delta = clk[1:] - clk[:-1]
+        phase = 1 - (kind == 1).astype(np.int64) - 2 * (kind == 3).astype(np.int64)
+        clk_delta = 2 * (clk[1:] - clk[:-1]) + (phase[1:] - phase[:-1])
         ane = addr_delta != 0
         diff = np.where(ane, addr_delta, clk_delta)
         assert (diff >= 0).all() and (diff < n2).all(), "unbounded delta"
@@ -235,6 +247,10 @@ class MemoryChip(Chip):
         b.assert_bool(local[IS_WRITE])
         b.assert_bool(local[IS_READ] + local[IS_WRITE])
         b.assert_bool(local[ADDR_NOT_EQUAL])
+        # static-initial rows are writes (a dummy may not claim the static
+        # phase to bend the same-clk ordering below)
+        b.assert_bool(local[IS_STATIC_INITIAL])
+        b.assert_zero(local[IS_STATIC_INITIAL] * (one - local[IS_WRITE]))
 
         addr_delta = nxt[ADDR] - local[ADDR]
         addr_equal = one - local[ADDR_NOT_EQUAL]
@@ -247,8 +263,12 @@ class MemoryChip(Chip):
         b.when_transition().when(local[ADDR_NOT_EQUAL]).assert_eq(
             local[DIFF], addr_delta
         )
+        # phase-weighted clk delta: phase = 1 - is_read - 2*is_static
+        phase_local = one - local[IS_READ] - 2 * local[IS_STATIC_INITIAL]
+        phase_next = one - nxt[IS_READ] - 2 * nxt[IS_STATIC_INITIAL]
         b.when_transition().when(addr_equal).assert_eq(
-            local[DIFF], nxt[CLK] - local[CLK]
+            local[DIFF],
+            2 * (nxt[CLK] - local[CLK]) + phase_next - phase_local,
         )
 
         # non-write rows (reads and dummies) at an unchanged address
@@ -257,12 +277,10 @@ class MemoryChip(Chip):
             b.when_transition().when(
                 (one - nxt[IS_WRITE]) * addr_equal
             ).assert_eq(nxt[VALUE[k]], local[VALUE[k]])
-        # a read can never be the first row at a (changed) address
-        b.when_transition().when(nxt[IS_READ]).assert_zero(addr_delta)
-        b.when_first_row().assert_zero(local[IS_READ])
-        # non-write rows entering a NEW address carry value 0 (so a read
-        # chained off address-stepping dummies can only fabricate the
-        # read_or_init default, never an arbitrary value); same for row 0
+        # non-write rows entering a NEW address carry value 0: a read's
+        # first touch of an address (read_or_init, and reads chained off
+        # address-stepping dummies) can only yield the init default 0,
+        # never an arbitrary value; same for row 0
         for k in range(4):
             b.when_transition().when(
                 local[ADDR_NOT_EQUAL] * (one - nxt[IS_WRITE])

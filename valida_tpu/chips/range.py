@@ -30,6 +30,9 @@ class RangeCheckerChip(Chip):
         for byte in u32_to_bytes(value_u32):
             self.count[byte] = self.count.get(byte, 0) + 1
 
+    def range_check_value(self, value: int):
+        self.count[value] = self.count.get(value, 0) + 1
+
     def width(self):
         return NUM_RANGE_COLS
 

@@ -21,6 +21,7 @@ from ..chips.cpu import (
 from ..chips.memory import MemoryChip
 from ..chips.program import ProgramChip
 from ..chips.static_data import StaticDataChip
+from ..chips.byte import ByteChip
 from ..chips.range import RangeCheckerChip
 from ..chips.output import OutputChip, ex_write
 from ..chips import alu
@@ -81,6 +82,7 @@ class BasicMachine(Machine):
         self._output = OutputChip()
         self._range = RangeCheckerChip(256)
         self._static_data = StaticDataChip()
+        self._byte = ByteChip()
 
     # chip accessors (basic/src/lib.rs:1213-1351)
     def cpu(self):
@@ -125,12 +127,18 @@ class BasicMachine(Machine):
     def static_data(self):
         return self._static_data
 
+    def byte(self):
+        return self._byte
+
     def chips(self):
+        # the reference's 14 chips + the byte chip (deviation: byte-op
+        # delegation so LOADU8/LOADS8/STOREU8 are actually constrained,
+        # chips/byte.py)
         return [
             self._cpu, self._program, self._mem, self._add_u32, self._sub_u32,
             self._mul_u32, self._div_u32, self._shift_u32, self._lt_u32,
             self._com_u32, self._bitwise_u32, self._output, self._range,
-            self._static_data,
+            self._static_data, self._byte,
         ]
 
     # bus assignment (basic/src/lib.rs:1191-1211)
@@ -145,6 +153,9 @@ class BasicMachine(Machine):
 
     def range_bus(self):
         return Bus(GLOBAL, 3)
+
+    def byte_bus(self):
+        return Bus(GLOBAL, 4)
 
     # -- execution ----------------------------------------------------------
 

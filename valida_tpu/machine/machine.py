@@ -27,6 +27,11 @@ class Machine:
     def range_bus(self):
         raise NotImplementedError
 
+    def byte_bus(self):
+        """Byte-op delegation bus (chips/byte.py); None if the machine has
+        no byte chip."""
+        return None
+
     def prove(self, config):
         return _prove(self, config)
 

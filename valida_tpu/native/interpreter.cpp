@@ -140,6 +140,24 @@ struct Vm {
     range_count[value & 0xFF]++;
   }
 
+  // mirrors chips/byte.py::register_range_checks (alignment decomposition
+  // limbs + the sign byte for the byte chip's range-bus sends)
+  bool byte_range_checks(uint32_t src_al, uint32_t dst_al, uint8_t sel) {
+    const uint32_t als[2] = {src_al, dst_al};
+    for (uint32_t al : als) {
+      if (al >> 30)
+        return fail("byte op address outside the 2^30 byte space: " +
+                    std::to_string(al));
+      uint32_t q = al >> 2;
+      range_count[q & 0xFF]++;
+      range_count[(q >> 8) & 0xFF]++;
+      range_count[(q >> 16) & 0xFF]++;
+      range_count[(16 * (q >> 24)) & 0xFF]++;
+    }
+    range_count[2 * (sel & 0x7F)]++;
+    return true;
+  }
+
   // witness bookkeeping for an unsigned-division row (mirrors
   // chips/alu.py::_div_side_effects)
   void div_side_effects(uint32_t a, uint32_t b, uint32_t c) {
@@ -262,18 +280,16 @@ struct Vm {
         if (!mem_read(ra_loc, &ra, opc, 0)) return false;
         uint32_t cell;
         if (!mem_read(ra & ~3u, &cell, opc, 1)) return false;
-        uint32_t shift = 8 * (ra & 3);  // byte slot 3-(ra&3), BE layout
-        uint8_t byte = (cell >> ((3 - (3 - (ra & 3))) * 8)) & 0xFF;
-        // index_of_byte(ra) = 3 - (ra & 3); BE slot i holds bits
-        // (3-i)*8..(3-i)*8+8 of the u32 value -> slot 3-(ra&3) holds
-        // bits (ra&3)*8..
-        byte = (cell >> (8 * (ra & 3))) & 0xFF;
-        (void)shift;
+        // index_of_byte(ra) = 3 - (ra & 3); BE slot i holds value bits
+        // (3-i)*8.. -> slot 3-(ra&3) holds bits (ra&3)*8..
+        uint8_t byte = (cell >> (8 * (ra & 3))) & 0xFF;
         uint32_t out =
             opc == LOADU8
                 ? byte
                 : ((byte & 0x80) ? (0xFFFFFF00u | byte) : (uint32_t)byte);
-        mem_write((fp + (uint32_t)iw.ops[0]) & ~3u, out);
+        uint32_t wa = (fp + (uint32_t)iw.ops[0]) & ~3u;
+        mem_write(wa, out);
+        if (!byte_range_checks(ra & ~3u, wa, byte)) return false;
         pc += 1;
         push_op(opc == LOADU8 ? K_LOAD_U8 : K_LOAD_S8, false, 0, iw);
         break;
@@ -301,13 +317,16 @@ struct Vm {
         if (!mem_read(ra & ~3u, &cell, opc, 1)) return false;
         uint8_t byte = (cell >> (8 * (ra & 3))) & 0xFF;
         uint32_t wa_idx = wa & ~3u;
-        uint32_t cur = mem_peek(wa_idx);
+        // logged merge read (read_or_init, cpu/src/lib.rs:687) — proved
+        // via the byte chip's memory-bus send
+        uint32_t cur = mem_read_or_init(wa_idx);
         // update_byte: byte-swap then write at BE slot index_of_byte(wa)
         uint32_t swapped = __builtin_bswap32(cur);
         uint32_t loc = 3 - (wa & 3);
         uint32_t shift2 = (3 - loc) * 8;
         swapped = (swapped & ~(0xFFu << shift2)) | ((uint32_t)byte << shift2);
         mem_write(wa_idx, swapped);
+        if (!byte_range_checks(ra & ~3u, wa_idx, byte)) return false;
         pc += 1;
         push_op(K_STORE_U8, false, 0, iw);
         break;
