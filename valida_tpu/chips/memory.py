@@ -8,17 +8,20 @@ machinery disabled (`memory/src/stark.rs:22-78`, `memory/src/lib.rs:
 * static-data initial writes are MERGED into the (addr, clk) sort (the
   reference prepends them, which breaks address ordering across the
   static/ops boundary — one reason its constraints could not be enabled);
-* dummy rows bound every addr/clk delta by the pre-insertion table length,
-  and pad the trace to a power of two at the last (addr, clk);
-* diff/diff_inv/addr_not_equal witnesses + counter/counter_mult feed a
-  LOCAL range-check bus (diff sent once per row, counter received with
-  multiplicity), proving the sort order and clk monotonicity;
-* constraints: flag booleanity, addr_not_equal correctness, diff
-  definition, read value consistency at unchanged addresses, first-touch
-  non-write rows carry value 0 (zero-initialized-memory semantics — the
-  reference's STOREU8 merge uses `read_or_init`, cpu/src/lib.rs:687, so a
-  read's first touch of an address must be provable, with value pinned to
-  the init default 0), counter chaining.
+* every sort delta is proven non-negative by a 4-limb base-256
+  decomposition sent to the GLOBAL 8-bit range bus (top limb sent as
+  4*limb, bounding deltas to 2^30) — this replaces the reference's
+  intended dummy-read machinery (memory/src/lib.rs:286-411), whose row
+  count is O(address gap / table length): a program touching both low
+  static addresses and a 2^24 stack would pay ~2^19 dummy rows and a
+  data-dependent trace height, fatal for jitted static shapes.  The only
+  remaining dummies are the power-of-two tail padding;
+* constraints: flag booleanity, addr_not_equal correctness, delta-limb
+  recomposition, read value consistency at unchanged addresses,
+  first-touch non-write rows carry value 0 (zero-initialized-memory
+  semantics — the reference's STOREU8 merge uses `read_or_init`,
+  cpu/src/lib.rs:687, so a read's first touch of an address must be
+  provable, with value pinned to the init default 0).
 
 Same-clk ordering: one instruction can read and write the same address in
 one cycle (STOREU8's read-modify-write merge, LOAD32 to its own source).
@@ -36,7 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..air.types import VPCol, Interaction, Bus, LOCAL
+from ..air.types import VPCol, Interaction
 from ..core.word import u32_to_bytes, MASK32
 from ..field import babybear as bb
 from .chip import Chip, IndexAllocator
@@ -48,11 +51,9 @@ CLK = _a.scalar()
 IS_STATIC_INITIAL = _a.scalar()
 IS_READ = _a.scalar()
 IS_WRITE = _a.scalar()
-DIFF = _a.scalar()
 DIFF_INV = _a.scalar()
 ADDR_NOT_EQUAL = _a.scalar()
-COUNTER = _a.scalar()
-COUNTER_MULT = _a.scalar()
+DELTA = _a.array(4)  # base-256 limbs (LE) of the sort delta; top limb < 64
 NUM_MEM_COLS = _a.width
 
 
@@ -70,6 +71,7 @@ class MemoryChip(Chip):
         # native zero-copy path: (clk u32[n], is_write u8[n], addr u32[n],
         # value u32[n]) in execution order
         self.ops_arrays = None
+        self._rows_cache = None
 
     # -- execution side (memory/src/lib.rs:85-136) --------------------------
 
@@ -113,11 +115,18 @@ class MemoryChip(Chip):
         return NUM_MEM_COLS
 
     def _sorted_rows(self):
-        """(clk, kind, addr, value) rows: static merged, sorted, dummies
-        inserted to bound deltas, padded to a power of two.
+        """(clk, kind, addr, value) rows: static merged, sorted by
+        (addr, clk, static-first; ties stable = execution order), padded to
+        a power of two with trailing dummies.
 
         kind: 0 = dummy, 1 = read, 2 = write, 3 = static initial write.
+        No gap-bounding dummies: sort deltas are proven by the 4-limb
+        range-bus decomposition, so the trace height is just the op count
+        padded — static-shape friendly and O(ops) regardless of how far
+        apart the touched addresses are.
         """
+        if self._rows_cache is not None:
+            return self._rows_cache
         rows = [(0, 3, addr, val) for addr, val in self.static_data.items()]
         if self.ops_arrays is not None:
             mclk, mwrite, maddr, mvalue = self.ops_arrays
@@ -130,45 +139,16 @@ class MemoryChip(Chip):
             for ck in self.operations:
                 for kind, addr, value in self.operations[ck]:
                     rows.append((ck, 1 if kind == "r" else 2, addr, value))
-        # sort by (addr, clk, static-first)
         rows.sort(key=lambda t: (t[2], t[0], 0 if t[1] == 3 else 1))
         if not rows:
-            return [(0, 0, 0, 0)]
-
-        # diff bound T: addr deltas use T directly; clk deltas are
-        # phase-weighted (2*gap + phase delta <= 2*step + 2), so the clk
-        # step is (T - 2) // 2.  The final trace is padded so the counter
-        # range 0..n2-1 covers every emitted diff.
-        table_len = max(4, len(rows))
-        clk_step = max(1, (table_len - 2) // 2)
-        out = []
-        for i, row in enumerate(rows):
-            out.append(row)
-            if i + 1 == len(rows):
-                break
-            clk, _k, addr, value = row
-            nclk, _nk, naddr, _nv = rows[i + 1]
-            if naddr != addr:
-                gap = naddr - addr
-                k = 1
-                while gap > table_len:
-                    # address-stepping dummies carry value 0 (constrained)
-                    out.append((clk, 0, addr + k * table_len, 0))
-                    gap -= table_len
-                    k += 1
-            else:
-                gap = nclk - clk
-                k = 1
-                while 2 * gap + 2 > table_len:
-                    out.append((clk + k * clk_step, 0, addr, value))
-                    gap -= clk_step
-                    k += 1
-        # pad to a power of two >= every diff, dummies at the last (addr, clk)
-        n = max(len(out), table_len + 1)
-        n2 = 1 << max((n - 1).bit_length(), 0)
-        last = out[-1]
-        out += [(last[0], 0, last[2], last[3])] * (n2 - len(out))
-        return out
+            rows = [(0, 0, 0, 0)]
+        else:
+            n = len(rows)
+            n2 = 1 << max((n - 1).bit_length(), 0)
+            last = rows[-1]
+            rows += [(last[0], 0, last[2], last[3])] * (n2 - n)
+        self._rows_cache = rows
+        return rows
 
     def generate_trace(self, machine):
         rows_l = self._sorted_rows()
@@ -185,43 +165,67 @@ class MemoryChip(Chip):
         rows[:, IS_READ] = (kind == 1).astype(np.uint32)
         rows[:, IS_WRITE] = ((kind == 2) | (kind == 3)).astype(np.uint32)
         rows[:, IS_STATIC_INITIAL] = (kind == 3).astype(np.uint32)
-        rows[:, COUNTER] = np.arange(n2, dtype=np.uint32)
 
-        # diff / diff_inv / addr_not_equal witnesses; clk deltas are
+        # delta limbs / diff_inv / addr_not_equal witnesses; clk deltas are
         # phase-weighted (static -1 < read 0 < write/dummy +1) to prove
         # same-clk ordering — see module docstring
-        addr_delta = addr[1:] - addr[:-1]
-        phase = 1 - (kind == 1).astype(np.int64) - 2 * (kind == 3).astype(np.int64)
-        clk_delta = 2 * (clk[1:] - clk[:-1]) + (phase[1:] - phase[:-1])
-        ane = addr_delta != 0
-        diff = np.where(ane, addr_delta, clk_delta)
-        assert (diff >= 0).all() and (diff < n2).all(), "unbounded delta"
-        rows[:-1, DIFF] = diff.astype(np.uint32)
+        diff, ane, addr_delta = self._sort_deltas(clk, kind, addr)
+        for k in range(4):
+            rows[:-1, DELTA[k]] = ((diff >> (8 * k)) & 0xFF).astype(np.uint32)
         rows[:-1, ADDR_NOT_EQUAL] = ane.astype(np.uint32)
         dinv_src = np.where(ane, addr_delta % bb.P, 0).astype(np.uint32)
         rows[:-1, DIFF_INV] = np.asarray(
             bb.from_monty(bb.inv(bb.to_monty(dinv_src)))
         )
-        # counter_mult: multiplicity of each diff value (last row diff = 0)
-        diffs_all = np.concatenate([diff, [0]])
-        counts = np.bincount(diffs_all.astype(np.int64), minlength=n2)
-        rows[:, COUNTER_MULT] = counts[:n2].astype(np.uint32)
         return rows
+
+    @staticmethod
+    def _sort_deltas(clk, kind, addr):
+        addr_delta = addr[1:] - addr[:-1]
+        phase = (1 - (kind == 1).astype(np.int64)
+                 - 2 * (kind == 3).astype(np.int64))
+        clk_delta = 2 * (clk[1:] - clk[:-1]) + (phase[1:] - phase[:-1])
+        ane = addr_delta != 0
+        diff = np.where(ane, addr_delta, clk_delta)
+        assert (diff >= 0).all() and (diff < (1 << 30)).all(), \
+            "sort delta outside the 2^30 range argument"
+        return diff, ane, addr_delta
+
+    def register_range_checks(self, machine):
+        """Bump the range chip's multiplicities for this trace's delta
+        limbs (called once after execution; the range trace must see the
+        counts before it is generated)."""
+        rows_l = self._sorted_rows()
+        arr = np.array(rows_l, dtype=np.int64)
+        diff, _ane, _ad = self._sort_deltas(arr[:, 0], arr[:, 1], arr[:, 2])
+        r = machine.range()
+        # the last row's limbs are zero (no transition)
+        for k in range(3):
+            vals, counts = np.unique((diff >> (8 * k)) & 0xFF,
+                                     return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                r.count[v] = r.count.get(v, 0) + c
+            r.count[0] = r.count.get(0, 0) + 1
+        vals, counts = np.unique(4 * ((diff >> 24) & 0xFF),
+                                 return_counts=True)
+        for v, c in zip(vals.tolist(), counts.tolist()):
+            r.count[v] = r.count.get(v, 0) + c
+        r.count[0] = r.count.get(0, 0) + 1
 
     # -- interactions -------------------------------------------------------
 
-    def local_sends(self):
-        return [
-            Interaction(fields=[VPCol.single_main(DIFF)], count=VPCol.one(),
-                        bus=Bus(LOCAL, 0))
-        ]
-
-    def local_receives(self):
-        return [
-            Interaction(fields=[VPCol.single_main(COUNTER)],
-                        count=VPCol.single_main(COUNTER_MULT),
-                        bus=Bus(LOCAL, 0))
-        ]
+    def global_sends(self, machine):
+        # sort-delta limbs on the 8-bit range bus; the top limb is sent as
+        # 4*limb, bounding deltas (and the address space) to 2^30
+        sends = []
+        for k in range(3):
+            sends.append(Interaction(
+                fields=[VPCol.single_main(DELTA[k])], count=VPCol.one(),
+                bus=machine.range_bus()))
+        sends.append(Interaction(
+            fields=[VPCol([(("main", DELTA[3]), 4)])], count=VPCol.one(),
+            bus=machine.range_bus()))
+        return sends
 
     def global_receives(self, machine):
         fields = [
@@ -260,14 +264,18 @@ class MemoryChip(Chip):
         )
         b.when_transition().when(addr_equal).assert_zero(addr_delta)
 
+        # the range-checked limb recomposition proves the sort delta is a
+        # non-negative integer < 2^30 (no field wrap: 2^30 < p)
+        delta = (local[DELTA[0]] + 256 * local[DELTA[1]]
+                 + 65536 * local[DELTA[2]] + 16777216 * local[DELTA[3]])
         b.when_transition().when(local[ADDR_NOT_EQUAL]).assert_eq(
-            local[DIFF], addr_delta
+            delta, addr_delta
         )
         # phase-weighted clk delta: phase = 1 - is_read - 2*is_static
         phase_local = one - local[IS_READ] - 2 * local[IS_STATIC_INITIAL]
         phase_next = one - nxt[IS_READ] - 2 * nxt[IS_STATIC_INITIAL]
         b.when_transition().when(addr_equal).assert_eq(
-            local[DIFF],
+            delta,
             2 * (nxt[CLK] - local[CLK]) + phase_next - phase_local,
         )
 
@@ -288,7 +296,7 @@ class MemoryChip(Chip):
             b.when_first_row().assert_zero(
                 (one - local[IS_WRITE]) * local[VALUE[k]]
             )
-
-        # counter chains 0, 1, 2, ...
-        b.when_first_row().assert_zero(local[COUNTER])
-        b.when_transition().assert_eq(nxt[COUNTER], local[COUNTER] + one)
+        # the last row has no transition; its delta limbs must still be
+        # valid range-bus messages (the trace leaves them zero, but any
+        # in-range value is harmless — the messages are count-1 sends
+        # matched by execution-registered multiplicities)

@@ -9,9 +9,15 @@ dangling:
 * The output trace stores the full written word so the 12 channel-value
   fields of the general-bus message match the CPU side exactly; the output
   byte remains the word's low byte.
-* `counter` and `diff` witness columns are actually populated (the
-  reference constrains them but leaves them zero, which only passes on
-  empty outputs).
+* Row order (= tape order) is PROVEN: each clk delta is decomposed into
+  4 range-checked base-256 limbs on the global range bus (top limb sent
+  as 4*limb, bounding deltas to 2^30).  The reference constrains diff and
+  counter columns but never populates or range-binds them
+  (`output/src/stark.rs:21-40`, local sends commented out) — without the
+  range check a prover could permute the output rows, i.e. reorder the
+  output tape.  This replaces the reference's dummy-row machinery
+  (`output/src/lib.rs:37-97`), whose row count is O(clk gap / table
+  length).
 """
 
 from __future__ import annotations
@@ -27,11 +33,9 @@ from .chip import Chip
 CLK = 0
 VALUE = [1, 2, 3, 4]  # full word (big-endian byte columns)
 IS_REAL = 5
-DIFF = 6
-COUNTER = 7
-COUNTER_MULT = 8
-OPCODE = 9
-NUM_OUTPUT_COLS = 10
+DELTA = [6, 7, 8, 9]  # base-256 limbs (LE) of the clk delta; top limb < 64
+OPCODE = 10
+NUM_OUTPUT_COLS = 11
 
 
 class OutputChip(Chip):
@@ -46,34 +50,42 @@ class OutputChip(Chip):
     def width(self):
         return NUM_OUTPUT_COLS
 
-    def generate_trace(self, machine):
-        table_len = len(self.values)
-        raw = []
-        for (clk1, val1), (clk2, _v2) in zip(self.values, self.values[1:]):
-            clk_diff = clk2 - clk1
-            num_rows = clk_diff // table_len + 1 if table_len else 1
-            for i in range(num_rows):
-                if i == 0:
-                    raw.append((clk1, val1, 1))
-                else:
-                    raw.append((clk1 + table_len * (i + 1), 0, 0))
-        if self.values:
-            raw.append((self.values[-1][0], self.values[-1][1], 1))
+    def _deltas(self, n2):
+        clks = [clk for clk, _w in self.values]
+        deltas = [b - a for a, b in zip(clks, clks[1:])]
+        assert all(0 <= d < (1 << 30) for d in deltas)
+        # padding rows repeat the last clk: delta 0
+        return deltas + [0] * (n2 - len(deltas))
 
-        n = len(raw)
+    def register_range_checks(self, machine):
+        """Range-bus multiplicities for the clk-delta limbs (one 4-limb
+        message per row, padding included)."""
+        n = len(self.values)
+        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
+        r = machine.range()
+        for d in self._deltas(n2):
+            for k in range(3):
+                v = (d >> (8 * k)) & 0xFF
+                r.count[v] = r.count.get(v, 0) + 1
+            v = 4 * ((d >> 24) & 0xFF)
+            r.count[v] = r.count.get(v, 0) + 1
+
+    def generate_trace(self, machine):
+        n = len(self.values)
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
         rows = np.zeros((n2, NUM_OUTPUT_COLS), dtype=np.uint32)
-        for i, (clk, word, is_real) in enumerate(raw):
+        for i, (clk, word) in enumerate(self.values):
             rows[i, CLK] = clk % bb.P
             for k, byte in enumerate(u32_to_bytes(word)):
                 rows[i, VALUE[k]] = byte
-            rows[i, IS_REAL] = is_real
-            if is_real:
-                rows[i, OPCODE] = OC.WRITE
-        clks = rows[:, CLK].astype(np.int64)
-        if n2 > 1:
-            rows[: n2 - 1, DIFF] = ((clks[1:] - clks[:-1]) % bb.P).astype(np.uint32)
-        rows[:, COUNTER] = np.arange(n2, dtype=np.uint32)
+            rows[i, IS_REAL] = 1
+            rows[i, OPCODE] = OC.WRITE
+        if n:
+            # padding rows carry the last clk so deltas stay 0
+            rows[n:, CLK] = rows[n - 1, CLK]
+        for i, d in enumerate(self._deltas(n2)[: n2 - 1]):
+            for k in range(4):
+                rows[i, DELTA[k]] = (d >> (8 * k)) & 0xFF
         return rows
 
     def global_receives(self, machine):
@@ -86,11 +98,29 @@ class OutputChip(Chip):
                         bus=machine.general_bus())
         ]
 
+    def global_sends(self, machine):
+        sends = []
+        for k in range(3):
+            sends.append(Interaction(
+                fields=[VPCol.single_main(DELTA[k])], count=VPCol.one(),
+                bus=machine.range_bus()))
+        sends.append(Interaction(
+            fields=[VPCol([(("main", DELTA[3]), 4)])], count=VPCol.one(),
+            bus=machine.range_bus()))
+        return sends
+
     def eval(self, b):
         local = b.main_local
         nxt = b.main_next
-        b.when_transition().assert_eq(local[DIFF], nxt[CLK] - local[CLK])
-        b.when_transition().assert_eq(nxt[COUNTER], local[COUNTER] + 1)
+        one = 1
+        b.assert_bool(local[IS_REAL])
+        delta = (local[DELTA[0]] + 256 * local[DELTA[1]]
+                 + 65536 * local[DELTA[2]] + 16777216 * local[DELTA[3]])
+        b.when_transition().assert_eq(delta, nxt[CLK] - local[CLK])
+        # real rows are a prefix: once padding starts it never ends
+        b.when_transition().when(one - local[IS_REAL]).assert_zero(
+            nxt[IS_REAL]
+        )
         b.when(local[IS_REAL]).assert_eq(local[OPCODE], OC.WRITE)
 
 

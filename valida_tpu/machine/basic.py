@@ -191,6 +191,9 @@ class BasicMachine(Machine):
         if not self.cpu().registers:
             self.cpu().registers.append((self.cpu().pc, self.cpu().fp))
         run_native(self, build_lists=build_lists)
+        # memory/output sort-delta limbs feed the range bus
+        self._mem.register_range_checks(self)
+        self._output.register_range_checks(self)
 
     def run(self, program: ProgramROM | None = None,
             advice: AdviceProvider | None = None):
@@ -206,3 +209,6 @@ class BasicMachine(Machine):
         n2 = 1 << max((clock - 1).bit_length(), 0) if clock else 1
         for _ in range(n2 - clock):
             self._program.read_word(self._cpu.pc)
+        # memory/output sort-delta limbs feed the range bus
+        self._mem.register_range_checks(self)
+        self._output.register_range_checks(self)

@@ -69,6 +69,12 @@ def main(argv=None):
         from .. import backend
 
         backend.set_backend("numpy")
+        # keep stray jnp stages (FRI fold/grind) off the TPU tunnel: the
+        # pinned axon platform moves host<->device at ~15 MB/s, which
+        # dominates wall clock for a host-backend prove
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     make, _program = _build_machine(args)
 
