@@ -136,16 +136,24 @@ def _loop_program(n_iters):
 def test_native_speed_large_trace():
     """Native interpreter must beat the python one per step (ratio-based,
     robust to machine load)."""
-    m_py = make_machine(_loop_program(1 << 11))
-    t0 = time.perf_counter()
-    m_py.run(advice=FixedAdviceProvider.empty())
-    py_rate = m_py.cpu().clock / (time.perf_counter() - t0)
+    # Best-of-3 on both sides: a single run of either can be descheduled
+    # under parallel load, which is what the ratio must be robust to.
+    py_rate = 0.0
+    for _ in range(3):
+        m_py = make_machine(_loop_program(1 << 11))
+        t0 = time.perf_counter()
+        m_py.run(advice=FixedAdviceProvider.empty())
+        py_rate = max(py_rate, m_py.cpu().clock / (time.perf_counter() - t0))
 
-    m = make_machine(_loop_program(1 << 15))
-    t0 = time.perf_counter()
-    m.run_native(build_lists=False)  # zero-copy array mode
-    native_rate = m.cpu().clock / (time.perf_counter() - t0)
-    assert m.cpu().clock > 3 * (1 << 15)
+    native_rate = 0.0
+    for _ in range(3):
+        m = make_machine(_loop_program(1 << 15))
+        t0 = time.perf_counter()
+        m.run_native(build_lists=False)  # zero-copy array mode
+        native_rate = max(
+            native_rate, m.cpu().clock / (time.perf_counter() - t0)
+        )
+        assert m.cpu().clock > 3 * (1 << 15)
     assert native_rate > 2 * py_rate, (
         f"native {native_rate:.0f} steps/s vs python {py_rate:.0f}"
     )
