@@ -17,7 +17,7 @@ from valida_tpu.core.program import ProgramROM
 from valida_tpu.machine.basic import BasicMachine
 from valida_tpu.machine.jit_prover import prove_jit
 
-from tests.test_machine_minimal import MiniMachine
+from valida_tpu.machine.examples import MiniMachine
 from tests.test_basic_machine import fib_program
 
 SLOW = os.environ.get("VALIDA_TPU_SLOW_TESTS", "0") == "1"

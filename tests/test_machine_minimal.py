@@ -4,107 +4,16 @@ bus lookup (sender + range table), proved and verified in-process.
 This exercises the full pipeline of SURVEY.md §3.2-3.3 — trace commit,
 LogUp permutation traces, quotient evaluation, FRI openings, OOD check,
 cumulative-sum balance — without the VM layer.
+
+The machine itself lives in valida_tpu/machine/examples.py (shared with
+the driver dry-run).
 """
 
-import numpy as np
 import pytest
 
-from valida_tpu.air import VPCol, Interaction, Bus, GLOBAL
-from valida_tpu.chips import Chip, IndexAllocator, pad_to_power_of_two
 from valida_tpu.core.config import test_config
-from valida_tpu.machine import Machine, VerificationError
-
-RANGE_BUS = Bus(GLOBAL, 0)
-MAX = 16  # 4-bit range table for test speed
-
-
-class SenderChip(Chip):
-    """Rows of nibble pairs (a, b) with witnessed sum; sends a and b to the
-    range bus, constrained a + b == c."""
-
-    name = "sender"
-    alloc = IndexAllocator()
-    A = alloc.scalar()
-    B = alloc.scalar()
-    C = alloc.scalar()
-    IS_REAL = alloc.scalar()
-    WIDTH = alloc.width
-
-    def __init__(self, pairs):
-        self.pairs = pairs  # [(a, b)]
-
-    def width(self):
-        return self.WIDTH
-
-    def generate_trace(self, machine):
-        rows = np.zeros((len(self.pairs), self.WIDTH), dtype=np.uint32)
-        for i, (a, b) in enumerate(self.pairs):
-            rows[i] = [a, b, a + b, 1]
-        return pad_to_power_of_two(rows)
-
-    def global_sends(self, machine):
-        return [
-            Interaction(fields=[VPCol.single_main(self.A)],
-                        count=VPCol.single_main(self.IS_REAL),
-                        bus=machine.range_bus()),
-            Interaction(fields=[VPCol.single_main(self.B)],
-                        count=VPCol.single_main(self.IS_REAL),
-                        bus=machine.range_bus()),
-        ]
-
-    def eval(self, b):
-        local = b.main_local
-        b.assert_zero(local[self.IS_REAL] * (local[self.A] + local[self.B] - local[self.C]))
-        b.assert_bool(local[self.IS_REAL])
-
-
-class RangeChip(Chip):
-    """Range table 0..MAX with main counter + multiplicity and a
-    preprocessed counter column (exercising preprocessed commits)."""
-
-    name = "range"
-
-    def __init__(self):
-        self.counts = {}
-
-    def width(self):
-        return 2
-
-    def generate_trace(self, machine):
-        rows = np.zeros((MAX, 2), dtype=np.uint32)
-        for v, c in self.counts.items():
-            rows[v, 0] = c
-        rows[:, 1] = np.arange(MAX)
-        return rows
-
-    def preprocessed_trace(self):
-        return np.arange(MAX, dtype=np.uint32).reshape(MAX, 1)
-
-    def global_receives(self, machine):
-        return [
-            Interaction(fields=[VPCol.single_main(1)],
-                        count=VPCol.single_main(0),
-                        bus=machine.range_bus()),
-        ]
-
-    def eval(self, b):
-        # main counter equals the preprocessed counter
-        b.assert_eq(b.main_local[1], b.preprocessed_local[0])
-
-
-class MiniMachine(Machine):
-    def __init__(self, pairs):
-        self.sender = SenderChip(pairs)
-        self.range = RangeChip()
-        for a, b in pairs:
-            for v in (a, b):
-                self.range.counts[v] = self.range.counts.get(v, 0) + 1
-
-    def chips(self):
-        return [self.sender, self.range]
-
-    def range_bus(self):
-        return RANGE_BUS
+from valida_tpu.machine import VerificationError
+from valida_tpu.machine.examples import MiniMachine
 
 
 def test_minimal_machine_prove_verify():

@@ -51,3 +51,31 @@ def test_mxu_radix_schedule():
     assert mxu_ntt._radix_schedule(14) == [7, 7]
     assert mxu_ntt._radix_schedule(19) == [5, 7, 7]
     assert mxu_ntt._radix_schedule(9) == [2, 7]
+
+
+def test_step_tile_legality():
+    """Every chosen tile must satisfy Mosaic's block rules: trailing lanes
+    (tm*rest_n) a multiple of 128 or the full m4*rest_n; tm a multiple of 8
+    or the full m4; block bytes under the cap."""
+    for log_len in range(8, 21):
+        m4 = 1 << (log_len - 7)
+        for rest_n in [1, 2, 3, 4, 5, 8, 12, 20, 51, 56, 79, 100, 255, 400, 816]:
+            tm = mxu_ntt._step_tile(m4, rest_n)
+            if tm == 0:
+                continue
+            assert m4 % tm == 0
+            assert (tm * rest_n) % 128 == 0 or tm == m4, (m4, rest_n, tm)
+            assert tm % 8 == 0 or tm == m4, (m4, rest_n, tm)
+            assert tm * rest_n * 128 * 4 <= mxu_ntt._STEP_BLOCK_CAP
+
+
+@pytest.mark.parametrize("log_n,cols", [(8, 51), (14, 51), (15, 79), (10, 13)])
+def test_mxu_pallas_interpret_odd_widths(monkeypatch, log_n, cols):
+    """The exact Pallas code path (interpret mode): odd trace widths take
+    the lane-padding branch; outputs stay bit-identical."""
+    monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, bb.P, size=(1 << log_n, cols), dtype=np.uint32)
+    ref = nttm.dif(x)
+    got = np.asarray(mxu_ntt.dif(jnp.asarray(x)))
+    assert (ref == got).all()

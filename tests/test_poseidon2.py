@@ -50,7 +50,7 @@ def test_merkle_poseidon2_roundtrip():
 
 
 def test_prove_with_poseidon2_mmcs():
-    from tests.test_machine_minimal import MiniMachine
+    from valida_tpu.machine.examples import MiniMachine
 
     m = MiniMachine([(1, 2), (3, 4), (7, 7)])
     config = default_config(num_queries=4, proof_of_work_bits=2,

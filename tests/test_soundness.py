@@ -11,7 +11,7 @@ from valida_tpu.field import babybear as bb
 from valida_tpu.field import ext as extf
 from valida_tpu.machine import VerificationError
 
-from tests.test_machine_minimal import MiniMachine
+from valida_tpu.machine.examples import MiniMachine
 
 
 @pytest.fixture(scope="module")

@@ -154,6 +154,49 @@ def _lde_stage(shape, dshift, log_blowup, shift):
     return jax.jit(stage)
 
 
+def _dist_dif_applies(log_h: int, mesh, row_axis: str) -> bool:
+    """dist_dif preconditions: radix-128 leading step, whole blocks and
+    whole column slices per device (parallel/dist_ntt.py)."""
+    if mesh is None or row_axis not in mesh.shape:
+        return False
+    d = mesh.shape[row_axis]
+    return (
+        log_h >= 7 and 128 % d == 0 and ((1 << log_h) >> 7) % d == 0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _dist_lde_stage(shape, dshift, log_blowup, shift, mesh, row_axis):
+    """Mesh-sharded _lde_stage: identical values, but both transforms run
+    as the explicit four-step distributed NTT (one all_to_all round each,
+    parallel/dist_ntt.py) with rows sharded over `row_axis`."""
+    from ..parallel.dist_ntt import dist_dif
+
+    log_h = shape[0].bit_length() - 1
+
+    def stage(mat):
+        m = bb.to_monty(mat)
+        coeffs_rev = dist_dif(m, mesh, row_axis, inverse=True)
+        coeffs = coeffs_rev[bitrev_indices(log_h)]
+        coeffs = nttm._scale_inv_n(coeffs, log_h)
+        if dshift != 1:
+            sp_inv = nttm.shift_powers(bb.h_inv(dshift % bb.P), log_h)
+            coeffs = bb.mul(coeffs, sp_inv[:, None])
+        padded = jnp.concatenate(
+            [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << log_blowup) - 1),
+            axis=0,
+        )
+        sp = nttm.shift_powers(shift, log_h + log_blowup)
+        scaled = bb.mul(padded, sp[:, None])
+        lde_rev = dist_dif(scaled, mesh, row_axis, inverse=False)
+        committed = bb.from_monty(lde_rev)
+        # dif is bitrev-out: natural order = gather by the bitrev map
+        lde = lde_rev[bitrev_indices(log_h + log_blowup)]
+        return coeffs, lde, committed
+
+    return jax.jit(stage)
+
+
 def _ext_powers_dyn(z, n: int):
     """[n, 5] monty powers of a [5] monty ext value (traced)."""
     one = np.zeros((1, 5), dtype=np.uint32)
@@ -305,13 +348,32 @@ def _to_ext_tuples(arr):
 # ---------------------------------------------------------------------------
 
 
-def prove_jit(machine, config) -> MachineProof:
+def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
+    """Device-resident prove.  With `mesh`, the prover runs DISTRIBUTED:
+    trace rows (and everything derived from them — LDEs, Merkle leaves,
+    permutation traces, quotient domains, FRI layers) are sharded over
+    `mesh.shape[row_axis]` devices.  LDE transforms big enough for the
+    four-step schedule use the explicit one-all_to_all-round distributed
+    NTT; every other stage is the same jitted code partitioned by GSPMD
+    (the Fiat-Shamir challenger runs replicated on the host between
+    stages, so devices never need to communicate for sampling).  Proofs
+    are bit-identical to the single-device path (tested on an 8-device
+    mesh)."""
     chips = machine.chips()
     pcs = config.pcs
     fri_config = pcs.config
     shift = pcs.coset_shift()
     log_blowup = pcs.log_blowup
     challenger = config.challenger()
+
+    row_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row_sharding = NamedSharding(mesh, PartitionSpec(row_axis, None))
+
+    def place(mat):
+        return jax.device_put(mat, row_sharding) if row_sharding else mat
 
     qds = [get_log_quotient_degree(machine, c) for c in chips]
 
@@ -322,9 +384,9 @@ def prove_jit(machine, config) -> MachineProof:
     for ci, p in enumerate(prep_traces):
         if p is not None:
             prep_indices[ci] = len(prep_list)
-            prep_list.append(jnp.asarray(np.asarray(p, dtype=np.uint32)))
+            prep_list.append(place(jnp.asarray(np.asarray(p, dtype=np.uint32))))
     main_traces = [
-        jnp.asarray(np.asarray(c.generate_trace(machine), dtype=np.uint32))
+        place(jnp.asarray(np.asarray(c.generate_trace(machine), dtype=np.uint32)))
         for c in chips
     ]
     log_degrees = [int(t.shape[0]).bit_length() - 1 for t in main_traces]
@@ -334,8 +396,14 @@ def prove_jit(machine, config) -> MachineProof:
         dshifts = dshifts or [1] * len(mats)
         coeffs, ldes, committed = [], [], []
         for mat, dshift in zip(mats, dshifts):
-            fn = _lde_stage(tuple(int(x) for x in mat.shape), dshift,
-                            log_blowup, shift)
+            log_h = int(mat.shape[0]).bit_length() - 1
+            if _dist_dif_applies(log_h, mesh, row_axis):
+                fn = _dist_lde_stage(tuple(int(x) for x in mat.shape),
+                                     dshift, log_blowup, shift, mesh,
+                                     row_axis)
+            else:
+                fn = _lde_stage(tuple(int(x) for x in mat.shape), dshift,
+                                log_blowup, shift)
             c, l, cm = fn(mat)
             coeffs.append(c)
             ldes.append(l)

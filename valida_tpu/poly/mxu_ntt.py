@@ -179,8 +179,17 @@ def _radix_schedule(log_n: int) -> list:
 # ---------------------------------------------------------------------------
 
 
+def _interpret() -> bool:
+    """VALIDA_TPU_PALLAS_INTERPRET=1 runs the Pallas kernels in interpret
+    mode (any backend) — used to exercise the exact kernel code paths
+    (tiling, padding, in-kernel arithmetic) in CPU tests."""
+    import os
+
+    return os.environ.get("VALIDA_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
 def _pallas_available() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    return _interpret() or jax.default_backend() in ("tpu", "axon")
 
 
 def _limb_dots(x, limbs_ref, k1, k2, k3):
@@ -208,8 +217,37 @@ def _limb_dots(x, limbs_ref, k1, k2, k3):
     return bb.add(y, bb.mul(c[3], k3))
 
 
+def _v2(x: int) -> int:
+    """2-adic valuation of a positive int."""
+    return (x & -x).bit_length() - 1
+
+
+_STEP_BLOCK_CAP = _BLOCK_BUDGET * 2  # hard cap on one program's input block
+
+
+def _step_tile(m4: int, rest_n: int) -> int:
+    """Twiddle-tile size TM for _step_pallas, or 0 if no legal tile fits.
+
+    Mosaic requires each block's trailing dim (TM*rest_n lanes) to be a
+    multiple of 128 or the full trailing dim (m4*rest_n), and its
+    second-to-last dim — TM for the (TM, 128) twiddle block — to be a
+    multiple of 8 or the full m4.  Powers-of-two TM >= 2^(7 - v2(rest_n))
+    satisfy the lane rule; TM == m4 is the full-dim escape hatch."""
+    need = 1 << max(0, _LOG_B - _v2(rest_n))
+    if need >= m4:
+        tm = m4
+    else:
+        tm = min(max(need, 8), m4)
+        budget = max(_BLOCK_BUDGET // (_B * rest_n * 4), 1)
+        while tm * 2 <= m4 and tm * 2 <= budget and tm * 2 * rest_n <= 2048:
+            tm *= 2
+    if tm * rest_n * _B * 4 > _STEP_BLOCK_CAP:
+        return 0
+    return tm
+
+
 def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
-                 radix_log: int):
+                 radix_log: int, tm: int):
     """One fused step (any radix, embedded to a [128,128] matmul):
     x[blocks, 128, M4*rest] -> same shape.
 
@@ -223,14 +261,6 @@ def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
     limbs = _matmul_limbs(log_len, inverse, radix_log)
     tw = _step_twiddles(log_len, inverse, radix_log)
     k1, k2, k3 = _fold_consts()
-
-    # lane tile: TM twiddle positions x rest_n trailing lanes; TM >= 8
-    # keeps the (TM, 128) twiddle block sublane-aligned
-    tm = 1
-    budget = max(_BLOCK_BUDGET // (_B * rest_n * 4), 1)
-    while tm < m4 and (tm < 8 or (tm * 2 <= budget
-                                  and tm * 2 * rest_n <= 2048)):
-        tm *= 2
     tmc = tm * rest_n
 
     def kernel(x_ref, limbs_ref, tw_ref, out_ref):
@@ -256,6 +286,7 @@ def _step_pallas(a, blocks: int, log_len: int, inverse: bool, rest_n: int,
         out_specs=pl.BlockSpec((1, _B, tmc), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.uint32),
+        interpret=_interpret(),
     )(x3, limbs, tw)
 
 
@@ -289,6 +320,7 @@ def _tail_pallas(a, blocks: int, inverse: bool, rest_n: int):
         out_specs=pl.BlockSpec((tb, _B, rest_n), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x3.shape, jnp.uint32),
+        interpret=_interpret(),
     )(x3, limbs)
 
 
@@ -359,6 +391,25 @@ def dif(a, inverse: bool = False):
     for d in rest:
         rest_n *= int(d)
     use_pallas = _pallas_available() and rest_n * _B * 4 <= _BLOCK_BUDGET
+
+    # Lane padding: a trailing width with a small 2-adic valuation (e.g. an
+    # odd 51-column trace) forces huge 2^(7-v2) twiddle tiles.  Rounding the
+    # flattened lane axis up to a multiple of 8 caps the forced tile at 16
+    # for <= 7 wasted lanes; pad once for the whole transform.
+    r_run = rest_n
+    if use_pallas and log_n > _LOG_B:
+        first_m4 = 1 << (log_n - _LOG_B)
+        if _step_tile(first_m4, rest_n) == 0:
+            r8 = (rest_n + 7) & ~7
+            if _step_tile(first_m4, r8) != 0:
+                r_run = r8
+    padded = r_run != rest_n
+    if padded:
+        a = a.reshape(n, rest_n)
+        a = jnp.concatenate(
+            [a, jnp.zeros((n, r_run - rest_n), dtype=a.dtype)], axis=1
+        )
+
     blocks = 1
     log_len = log_n
     schedule = _radix_schedule(log_n)
@@ -367,15 +418,22 @@ def dif(a, inverse: bool = False):
         if last:
             assert radix_log == _LOG_B and log_len == _LOG_B
             if use_pallas:
-                a = _tail_pallas(a, blocks, inverse, rest_n)
-                a = a.reshape((n,) + rest)
+                a = _tail_pallas(a, blocks, inverse, r_run)
+                a = a.reshape(n, r_run) if padded else a.reshape((n,) + rest)
             else:
-                a = _tail_xla(a, blocks, inverse, rest)
-        elif use_pallas:
-            a = _step_pallas(a, blocks, log_len, inverse, rest_n, radix_log)
-            a = a.reshape((n,) + rest)
+                a = _tail_xla(a, blocks, inverse,
+                              (r_run,) if padded else rest)
         else:
-            a = _step_xla(a, blocks, log_len, inverse, rest, radix_log)
+            tm = _step_tile(1 << (log_len - _LOG_B), r_run) if use_pallas else 0
+            if tm:
+                a = _step_pallas(a, blocks, log_len, inverse, r_run,
+                                 radix_log, tm)
+                a = a.reshape(n, r_run) if padded else a.reshape((n,) + rest)
+            else:
+                a = _step_xla(a, blocks, log_len, inverse,
+                              (r_run,) if padded else rest, radix_log)
         blocks <<= radix_log
         log_len -= radix_log
+    if padded:
+        a = a[:, :rest_n].reshape((n,) + rest)
     return a
