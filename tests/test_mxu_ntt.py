@@ -69,13 +69,30 @@ def test_step_tile_legality():
             assert tm * rest_n * 128 * 4 <= mxu_ntt._STEP_BLOCK_CAP
 
 
+@pytest.mark.parametrize("digits", ["i8", "bf16"])
 @pytest.mark.parametrize("log_n,cols", [(8, 51), (14, 51), (15, 79), (10, 13)])
-def test_mxu_pallas_interpret_odd_widths(monkeypatch, log_n, cols):
-    """The exact Pallas code path (interpret mode): odd trace widths take
-    the lane-padding branch; outputs stay bit-identical."""
+def test_mxu_pallas_interpret_odd_widths(monkeypatch, log_n, cols, digits):
+    """The exact Pallas code path (interpret mode), both digit systems
+    (int8 balanced digits — the TPU default — and the bf16 fallback):
+    odd trace widths take the lane-padding branch; outputs stay
+    bit-identical."""
     monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VALIDA_TPU_MXU_I8", "1" if digits == "i8" else "0")
     rng = np.random.default_rng(13)
     x = rng.integers(0, bb.P, size=(1 << log_n, cols), dtype=np.uint32)
+    ref = nttm.dif(x)
+    got = np.asarray(mxu_ntt.dif(jnp.asarray(x)))
+    assert (ref == got).all()
+
+
+def test_mxu_i8_worst_case_digits(monkeypatch):
+    """Interpret-mode int8 path on near-maximal values (top balanced
+    digit at its ceiling) — overflow of any digit would break these."""
+    monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VALIDA_TPU_MXU_I8", "1")
+    x = np.full((1 << 8, 8), bb.P - 1, dtype=np.uint32)
+    x[::3] = 0x77FFFFFF  # p - 2: every low digit at its extreme
+    x[1::3] = 0x77808080  # borrow chain through three digits
     ref = nttm.dif(x)
     got = np.asarray(mxu_ntt.dif(jnp.asarray(x)))
     assert (ref == got).all()

@@ -110,7 +110,11 @@ def main(argv=None):
         return 0
 
     if args.action == "verify":
-        machine.run(advice=advice)
+        # No execution: verification needs only the program ROM (for the
+        # preprocessed commitment) and the proof.  The reference CLI runs
+        # the program before every action incl. verify
+        # (basic/src/bin/valida.rs:354) — an artifact of its shared main
+        # flow; a verifier must not need the (possibly absent) advice tape.
         with open(args.action_file, "rb") as f:
             proof = deserialize_proof(f.read())
         try:
