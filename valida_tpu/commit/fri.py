@@ -279,13 +279,45 @@ def fri_verify_challenges(proof: FriProof, config: FriConfig, log_max: int,
     return betas, indices
 
 
+def verify_queries_fold(query_proofs, proof: FriProof, config: FriConfig,
+                        betas, indices, log_max: int, shift: int,
+                        ros) -> None:
+    """All queries at once: per commit-phase layer, ONE batched Merkle
+    verification across the queries (lane-parallel hashing), then the
+    (cheap) scalar fold arithmetic per query."""
+    from ..crypto.merkle import verify_openings
+
+    n_layers = len(proof.commit_phase_commits)
+    idx = np.asarray(indices, dtype=np.int64)
+    for layer, log_m in enumerate(range(log_max, config.log_blowup, -1)):
+        pair_idx = idx >> 1
+        rows = np.stack([
+            np.asarray(qp.commit_phase_openings[layer].pair_row,
+                       dtype=np.uint32)
+            for qp in query_proofs
+        ])
+        paths = np.stack([
+            np.asarray(qp.commit_phase_openings[layer].path, dtype=np.uint32)
+            for qp in query_proofs
+        ])
+        if not verify_openings(
+            proof.commit_phase_commits[layer], [(1 << (log_m - 1), 10)],
+            pair_idx, [rows], paths, hasher=config.hasher,
+        ):
+            raise FriError(f"bad commit-phase Merkle path at layer {layer}")
+        idx = pair_idx
+    assert n_layers == log_max - config.log_blowup
+    for qi, (qp, index, ro) in enumerate(zip(query_proofs, indices, ros)):
+        _verify_query_fold_values(qp, proof, config, betas, int(index),
+                                  log_max, shift, ro)
+
+
 def verify_query_fold(query_proof: FriQueryProof, proof: FriProof,
                       config: FriConfig, betas, index: int, log_max: int,
                       shift: int, ro_at_index: dict) -> None:
-    value = ro_at_index[log_max]
+    """Single-query form: per-layer Merkle verification + fold values."""
     idx = index
-    layer = 0
-    for log_m in range(log_max, config.log_blowup, -1):
+    for layer, log_m in enumerate(range(log_max, config.log_blowup, -1)):
         opening = query_proof.commit_phase_openings[layer]
         root = proof.commit_phase_commits[layer]
         pair_index = idx >> 1
@@ -293,6 +325,21 @@ def verify_query_fold(query_proof: FriQueryProof, proof: FriProof,
         if not verify_opening(root, dims, pair_index, [opening.pair_row],
                               opening.path, hasher=config.hasher):
             raise FriError(f"bad commit-phase Merkle path at layer {layer}")
+        idx = pair_index
+    _verify_query_fold_values(query_proof, proof, config, betas, index,
+                              log_max, shift, ro_at_index)
+
+
+def _verify_query_fold_values(query_proof: FriQueryProof, proof: FriProof,
+                              config: FriConfig, betas, index: int,
+                              log_max: int, shift: int,
+                              ro_at_index: dict) -> None:
+    value = ro_at_index[log_max]
+    idx = index
+    layer = 0
+    for log_m in range(log_max, config.log_blowup, -1):
+        opening = query_proof.commit_phase_openings[layer]
+        pair_index = idx >> 1
         row = np.asarray(opening.pair_row, dtype=np.uint64)
         e0 = tuple(int(v) for v in row[0:5])
         e1 = tuple(int(v) for v in row[5:10])

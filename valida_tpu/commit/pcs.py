@@ -20,7 +20,7 @@ from ..field import babybear as bb
 from ..field import ext as extf
 from ..poly import ntt as nttm
 from ..poly.ntt import bitrev_indices
-from ..crypto.merkle import MerkleTree, verify_opening
+from ..crypto.merkle import MerkleTree, verify_opening, verify_openings
 from . import fri as frim
 from .fri import FriConfig, FriProof, FriError
 
@@ -230,10 +230,59 @@ class TwoAdicFriPcs:
             proof.fri, config, log_max, challenger
         )
 
-        # precompute alpha powers layout
-        for (root, points), rdims, round_vals, in zip(rounds, dims, opened_values):
+        # precompute alpha powers + the query-independent point-side
+        # combinations ONCE (the per-query loop below only combines the
+        # opened leaf row; recomputing powers/comb_y per query was the
+        # host verifier's dominant cost)
+        total_width = 0
+        for (root, points), rdims, round_vals in zip(rounds, dims, opened_values):
             assert len(points) == len(rdims) == len(round_vals)
+            total_width += sum(w for (_h, w) in rdims)
+        apows_all = extf.e_powers(alpha, max(total_width, 1))
+        apows_np = np.asarray(apows_all, dtype=np.uint64)  # [W, 5]
+        comb_ys = []  # [round][mat][point] = Σ_c α^{off+c}·y_c
+        off = 0
+        for (root, points), rdims, round_vals in zip(rounds, dims, opened_values):
+            round_comb = []
+            for (h, w), mat_points, mat_vals in zip(rdims, points, round_vals):
+                apows = apows_all[off:off + w]
+                mat_comb = []
+                for point_vals in mat_vals:
+                    comb_y = extf.E_ZERO
+                    for c in range(w):
+                        comb_y = extf.e_add(
+                            comb_y, extf.e_mul(apows[c], point_vals[c])
+                        )
+                    mat_comb.append(comb_y)
+                round_comb.append(mat_comb)
+                off += w
+            comb_ys.append(round_comb)
 
+        # batched Merkle verification: all queries of a round-tree in one
+        # lane-parallel hash chain
+        idx_arr = np.asarray(indices, dtype=np.int64)
+        for ri, ((root, points), rdims) in enumerate(zip(rounds, dims)):
+            lde_dims = [(h << self.log_blowup, w) for (h, w) in rdims]
+            tree_log_max = max(int(h).bit_length() - 1 for (h, _w) in lde_dims)
+            rows_by_mat = [
+                np.stack([
+                    np.asarray(qp.input_openings[ri].opened_rows[mi],
+                               dtype=np.uint32)
+                    for qp in proof.query_proofs
+                ])
+                for mi in range(len(rdims))
+            ]
+            paths = np.stack([
+                np.asarray(qp.input_openings[ri].path, dtype=np.uint32)
+                for qp in proof.query_proofs
+            ])
+            if not verify_openings(
+                root, lde_dims, idx_arr >> (log_max - tree_log_max),
+                rows_by_mat, paths, hasher=config.hasher,
+            ):
+                raise FriError(f"bad input opening (round {ri})")
+
+        ros = []
         for qi, idx in enumerate(indices):
             qp = proof.query_proofs[qi]
             ro = {}
@@ -242,18 +291,6 @@ class TwoAdicFriPcs:
                 zip(rounds, dims, opened_values)
             ):
                 opening = qp.input_openings[ri]
-                lde_dims = [
-                    (h << self.log_blowup, w) for (h, w) in rdims
-                ]
-                tree_log_max = max(
-                    int(h).bit_length() - 1 for (h, _w) in lde_dims
-                )
-                tree_idx = idx >> (log_max - tree_log_max)
-                if not verify_opening(
-                    root, lde_dims, tree_idx, opening.opened_rows,
-                    opening.path, hasher=config.hasher,
-                ):
-                    raise FriError(f"bad input opening (round {ri})")
                 for mi, ((h, w), mat_points) in enumerate(zip(rdims, points)):
                     log_lde = int(h).bit_length() - 1 + self.log_blowup
                     row = opening.opened_rows[mi]
@@ -267,28 +304,25 @@ class TwoAdicFriPcs:
                         )
                         % bb.P
                     )
-                    apows = extf.e_powers(alpha, alpha_offset + w)[alpha_offset:]
-                    comb_row = extf.E_ZERO
-                    for c in range(w):
-                        comb_row = extf.e_add(
-                            comb_row, extf.e_scale(apows[c], int(row[c]))
-                        )
+                    # comb_row = Σ_c α^{off+c}·row_c, vectorized: per-term
+                    # products < p² < 2^62 fit u64; reduce before the sum
+                    ap = apows_np[alpha_offset:alpha_offset + w]
+                    terms = ap * np.asarray(row, dtype=np.uint64)[:, None] % bb.P
+                    comb_row = tuple(
+                        int(v) for v in terms.sum(axis=0) % bb.P
+                    )
                     acc = ro.get(log_lde, extf.E_ZERO)
-                    for z, point_vals in zip(mat_points, round_vals[mi]):
-                        comb_y = extf.E_ZERO
-                        for c in range(w):
-                            comb_y = extf.e_add(
-                                comb_y, extf.e_mul(apows[c], point_vals[c])
-                            )
+                    for z, comb_y in zip(mat_points, comb_ys[ri][mi]):
                         num = extf.e_sub(comb_row, comb_y)
                         den = extf.e_sub(extf.e_from_base(x), z)
                         acc = extf.e_add(acc, extf.e_mul(num, extf.e_inv(den)))
                     ro[log_lde] = acc
                     alpha_offset += w
-            frim.verify_query_fold(
-                qp.fri_query, proof.fri, config, betas, idx, log_max,
-                self.shift, ro,
-            )
+            ros.append(ro)
+        frim.verify_queries_fold(
+            [qp.fri_query for qp in proof.query_proofs], proof.fri, config,
+            betas, indices, log_max, self.shift, ros,
+        )
 
 
 # ---------------------------------------------------------------------------

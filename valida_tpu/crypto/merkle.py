@@ -121,6 +121,44 @@ class MerkleTree:
         return rows, path
 
 
+def verify_openings(root, dims, indices, opened_rows, paths,
+                    hasher=KECCAK) -> bool:
+    """Batched host-side path verification: all queries of one tree in
+    one lane-parallel hash chain (the vectorized `hash_words` dispatches
+    on numpy inputs, so Q paths cost ~one path of vector work).
+
+    indices: int array [q]; opened_rows[mi]: uint32 [q, w_mi];
+    paths: uint32 [q, log_max, 8] sibling digests leaf->root.
+    Returns True iff every query's recomputed root equals `root`.
+    """
+    hasher = get_hasher(hasher)
+    log_max = max(int(h).bit_length() - 1 for h, _ in dims)
+    # copy: the in-place shifts below must not alias the caller's array
+    idx = np.array(indices, dtype=np.int64, copy=True)
+    paths = np.asarray(paths, dtype=np.uint32)
+    by_level: dict[int, list] = {}
+    for (h, _w), rows in zip(dims, opened_rows):
+        k = int(h).bit_length() - 1
+        by_level.setdefault(k, []).append(np.asarray(rows, dtype=np.uint32))
+
+    def h_rows(k):
+        return np.asarray(hasher.hash_words(np.concatenate(by_level[k], axis=1)))
+
+    def c(a, b):
+        return np.asarray(hasher.hash_words(np.concatenate([a, b], axis=1)))
+
+    d = h_rows(log_max)
+    for step, k in enumerate(range(log_max, 0, -1)):
+        sib = paths[:, step]
+        odd = (idx & 1).astype(bool)[:, None]
+        d = c(np.where(odd, sib, d), np.where(odd, d, sib))
+        idx >>= 1
+        if (k - 1) in by_level:
+            d = c(d, h_rows(k - 1))
+    return bool(np.array_equal(d, np.broadcast_to(
+        np.asarray(root, dtype=np.uint32), d.shape)))
+
+
 def verify_opening(root, dims, index: int, opened_rows, path,
                    hasher=KECCAK) -> bool:
     """Host-side path verification.
