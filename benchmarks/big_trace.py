@@ -69,10 +69,18 @@ def main():
     backend.set_backend(backend_name)
     config = default_config(num_queries=queries, debug_checks=False)
 
+    t_warmup = 0.0
+    if backend_name == "jax":
+        from valida_tpu.machine.jit_prover import prove_jit, warmup_jit
+
+        t0 = time.perf_counter()
+        n_stages = warmup_jit(m, config)
+        t_warmup = time.perf_counter() - t0
+        print(f"[warmup] {n_stages} stages compiled in {t_warmup:.1f}s",
+              file=sys.stderr)
+
     t0 = time.perf_counter()
     if backend_name == "jax":
-        from valida_tpu.machine.jit_prover import prove_jit
-
         proof = prove_jit(m, config)
     else:
         proof = m.prove(config)
@@ -91,6 +99,7 @@ def main():
                 "backend": backend_name,
                 "queries": queries,
                 "run_s": t_run,
+                "warmup_s": t_warmup,
                 "value": t_prove,
                 "unit": "s",
                 "verify_s": t_verify,

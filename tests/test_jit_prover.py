@@ -47,6 +47,26 @@ def test_jit_prover_mini_machine():
         assert cj.opened_values.trace_local == ce.opened_values.trace_local
 
 
+def test_warmup_covers_prover_stages(tmp_path, monkeypatch):
+    """warmup_jit enumerates valid stage signatures (dry = abstract eval,
+    no compiles) and the exported-stage cache round-trips: a prove after
+    warmup reuses the same stage objects and still verifies."""
+    from valida_tpu.machine.jit_prover import warmup_jit
+
+    monkeypatch.setenv("VALIDA_TPU_STAGE_CACHE", str(tmp_path))
+    # 8 pairs -> trace height 8: distinct stage shapes from the other
+    # tests, so the factories (lru-cached in-process) are built fresh and
+    # write blobs into this tmp cache dir
+    m = MiniMachine([(i, i + 1) for i in range(0, 15, 2)])
+    config = test_config(debug_checks=False)
+    n = warmup_jit(m, config, dry=True)
+    assert n > 0
+    # exported blobs were written for at least the quotient/perm stages
+    assert any(tmp_path.iterdir())
+    proof = prove_jit(m, config)
+    m.verify(config, proof)
+
+
 @pytest.mark.skipif(not SLOW, reason="set VALIDA_TPU_SLOW_TESTS=1")
 def test_jit_prover_fib_verifies():
     m = BasicMachine()

@@ -81,21 +81,103 @@ class DeviceTree:
 
     def open_batch(self, indices: np.ndarray):
         """indices: [q] leaf indices -> (rows per mat: list of np [q, w],
-        paths: np [q, log_max, 8])."""
-        idx = jnp.asarray(indices.astype(np.int32))
-        rows = []
-        for m in self.mats:
-            h = int(m.shape[0]).bit_length() - 1
-            rows.append(m[idx >> (self.log_max - h)])
-        sibs = []
-        cur = idx
-        for k in range(self.log_max, 0, -1):
-            sibs.append(self.levels[k][cur ^ 1])
-            cur = cur >> 1
-        paths = jnp.stack(sibs, axis=1) if sibs else jnp.zeros(
-            (len(indices), 0, 8), dtype=jnp.uint32
-        )
+        paths: np [q, log_max, 8]).  One jitted (exported) stage per tree
+        signature — not a chain of eager gathers, each of which would be
+        its own device compile."""
+        if self.log_max == 0:
+            return [np.asarray(m[np.zeros(len(indices), dtype=np.int64)])
+                    for m in self.mats], np.zeros(
+                        (len(indices), 0, 8), dtype=np.uint32)
+        mat_shapes = tuple(tuple(int(x) for x in m.shape) for m in self.mats)
+        level_arrays = tuple(self.levels[k]
+                             for k in range(self.log_max, 0, -1))
+        level_shapes = tuple(tuple(int(x) for x in a.shape)
+                             for a in level_arrays)
+        fn = _open_batch_stage(mat_shapes, level_shapes, self.log_max,
+                               len(indices))
+        rows, paths = fn(tuple(self.mats), level_arrays,
+                         jnp.asarray(indices.astype(np.int32)))
         return [np.asarray(r) for r in rows], np.asarray(paths)
+
+
+# ---------------------------------------------------------------------------
+# persistent exported-stage cache
+#
+# Tracing a BasicMachine quotient stage costs 30-70s of pure-python jaxpr
+# building (tens of thousands of field ops), times 14 chips, in EVERY
+# prover process.  jax.export lets us pay it once per source version: the
+# traced+lowered StableHLO is serialized to disk keyed by (stage key,
+# source fingerprint, jax version, platform); later processes deserialize
+# and call — no tracing, and XLA compilation of the module goes through
+# the persistent compilation cache.
+# ---------------------------------------------------------------------------
+
+def _stage_cache_dir() -> str:
+    return os.path.expanduser(
+        os.environ.get("VALIDA_TPU_STAGE_CACHE", "~/.cache/valida_tpu_stages")
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _source_fingerprint() -> str:
+    """Hash of the package's .py sources — stale exported stages must
+    never survive a code change."""
+    import hashlib
+
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
+        dirnames.sort()
+        for fname in sorted(filenames):
+            if fname.endswith(".py"):
+                p = os.path.join(dirpath, fname)
+                h.update(p.encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _stage_cache_enabled() -> bool:
+    return os.environ.get("VALIDA_TPU_STAGE_CACHE_OFF", "0") != "1"
+
+
+def _exported_stage(key: str, stage_fn, abstract_args):
+    """stage_fn (python) + abstract args -> a callable.
+
+    Loads the serialized export when present; otherwise traces, exports,
+    serializes.  Falls back to plain jit on any export limitation."""
+    if not _stage_cache_enabled():
+        return jax.jit(stage_fn)
+    import hashlib
+    from jax import export as jexport
+
+    full_key = "|".join(
+        [key, _source_fingerprint(), jax.__version__, jax.default_backend()]
+    )
+    kh = hashlib.sha256(full_key.encode()).hexdigest()[:32]
+    cache_dir = _stage_cache_dir()
+    path = os.path.join(cache_dir, kh + ".jaxexp")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return jexport.deserialize(bytearray(f.read())).call
+        except Exception:
+            pass  # stale/corrupt: re-export below
+    try:
+        exp = jexport.export(jax.jit(stage_fn))(*abstract_args)
+        blob = exp.serialize()
+    except Exception:
+        return jax.jit(stage_fn)  # unexportable stage: in-process jit
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return exp.call
+
+
+def _sds(*shape):
+    return jax.ShapeDtypeStruct(shape, jnp.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -104,10 +186,40 @@ class DeviceTree:
 
 
 @functools.lru_cache(maxsize=None)
+def _open_batch_stage(mat_shapes, level_shapes, log_max, q):
+    """Batched Merkle query opening for one tree signature: gathers the
+    opened rows of every matrix and the sibling-digest paths in one call."""
+
+    def stage(mats, levels, idx):
+        rows = tuple(
+            m[idx >> np.int32(log_max - (int(m.shape[0]).bit_length() - 1))]
+            for m in mats
+        )
+        sibs = []
+        cur = idx
+        for li in range(log_max):
+            sibs.append(levels[li][cur ^ np.int32(1)])
+            cur = cur >> np.int32(1)
+        paths = jnp.stack(sibs, axis=1)
+        return rows, paths
+
+    idx_sds = jax.ShapeDtypeStruct((q,), jnp.int32)
+    return _exported_stage(
+        f"openbatch:{mat_shapes}:{level_shapes}:{log_max}:{q}", stage,
+        (tuple(_sds(*s) for s in mat_shapes),
+         tuple(_sds(*s) for s in level_shapes), idx_sds),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _hasher_jit(shape, hasher_name):
     from ..crypto.merkle import get_hasher
 
-    return jax.jit(get_hasher(hasher_name).hash_words)
+    return _exported_stage(
+        f"hash:{shape}:{hasher_name}",
+        get_hasher(hasher_name).hash_words,
+        (_sds(*shape),),
+    )
 
 
 def _hash_level(mats, hasher_name="keccak"):
@@ -151,7 +263,9 @@ def _lde_stage(shape, dshift, log_blowup, shift):
         committed = bb.from_monty(lde[bitrev_indices(log_h + log_blowup)])
         return coeffs, lde, committed
 
-    return jax.jit(stage)
+    return _exported_stage(
+        f"lde:{shape}:{dshift}:{log_blowup}:{shift}", stage, (_sds(*shape),)
+    )
 
 
 def _dist_dif_applies(log_h: int, mesh, row_axis: str) -> bool:
@@ -235,7 +349,9 @@ def _openings_stage(shape, kind):
             mat_vals.append(nttm.eval_at_ext_point(coeffs, zp))
         return tuple(mat_vals)
 
-    return jax.jit(stage)
+    return _exported_stage(
+        f"open:{shape}:{kind}", stage, (_sds(*shape), _sds(5))
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -261,7 +377,12 @@ def _reduced_stage(shape, kind, log_lde, total_w, off, shift):
             acc = quot if acc is None else bb.add(acc, quot)
         return acc
 
-    return jax.jit(stage)
+    n_points = 2 if kind[0] == "pair" else 1
+    return _exported_stage(
+        f"red:{shape}:{kind}:{log_lde}:{total_w}:{off}:{shift}", stage,
+        (_sds(1 << log_lde, w),
+         tuple(_sds(w, 5) for _ in range(n_points)), _sds(5), _sds(5)),
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -277,7 +398,9 @@ def _fri_pair_mat(log_m):
         m = current.shape[0]
         return bb.from_monty(current).reshape(m // 2, 10)
 
-    return jax.jit(stage)
+    return _exported_stage(
+        f"fripair:{log_m}", stage, (_sds(1 << log_m, 5),)
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -287,7 +410,10 @@ def _fri_fold(log_m, shift_layer):
     def stage(current, beta_m):
         return frim.fold_device(current, beta_m, jnp.asarray(x0inv))
 
-    return jax.jit(stage)
+    return _exported_stage(
+        f"frifold:{log_m}:{shift_layer}", stage,
+        (_sds(1 << log_m, 5), _sds(5)),
+    )
 
 
 _PERM_STAGE_CACHE = {}
@@ -303,7 +429,9 @@ def _perm_stage(machine, chip, log_degree, width):
             flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
             return t, flat, t[-1, -1]
 
-        fn = jax.jit(stage)
+        fn = _exported_stage(
+            f"perm:{key}", stage, (_sds(1 << log_degree, width), _sds(3, 5))
+        )
         _PERM_STAGE_CACHE[key] = fn
     return fn
 
@@ -332,7 +460,12 @@ def _quotient_stage(machine, chip, log_degree, qd, shapes, shift, log_blowup):
             )
             return _decompose_device(qv, shift, qd)
 
-        fn = jax.jit(stage)
+        main_s, perm_s, prep_s = shapes
+        fn = _exported_stage(
+            f"quot:{key}:{shift}:{log_blowup}", stage,
+            (_sds(*prep_s) if prep_s is not None else None,
+             _sds(*main_s), _sds(*perm_s), _sds(3, 5), _sds(5), _sds(5)),
+        )
         _QUOTIENT_STAGE_CACHE[key] = fn
     return fn
 
@@ -341,6 +474,192 @@ def _to_ext_tuples(arr):
     """[w, 5] canonical np array -> list of ext tuples."""
     a = np.asarray(arr)
     return [tuple(int(x) for x in row) for row in a]
+
+
+# ---------------------------------------------------------------------------
+# parallel compile warmup
+# ---------------------------------------------------------------------------
+
+
+def _commit_level_shapes(committed_shapes):
+    """Shapes of every _hash_level call _build_levels_jit makes for a
+    commit over matrices of the given committed (LDE) shapes."""
+    by_level = {}
+    for (h, w) in committed_shapes:
+        k = int(h).bit_length() - 1
+        by_level.setdefault(k, []).append(int(w))
+    log_max = max(by_level)
+    out = [(1 << log_max, sum(by_level[log_max]))]
+    for k in range(log_max - 1, -1, -1):
+        out.append((1 << k, 16))
+        if k in by_level:
+            out.append((1 << k, sum(by_level[k])))
+            out.append((1 << k, 16))
+    return out
+
+
+def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
+    """Build + compile every stage `prove_jit` will need, CONCURRENTLY.
+
+    Stage shapes are fully determined by the machine's trace shapes (the
+    Fiat–Shamir challenges are traced arrays of fixed shape).  Stage
+    construction loads the persistent exported-stage cache (or traces +
+    exports on a cold source version); then every stage is executed once
+    on zero inputs from a thread pool — XLA compilation releases the GIL,
+    and on remote-compile backends the requests parallelize (~4x measured
+    with 8 threads), landing in the persistent compilation cache so the
+    subsequent prove_jit only executes.  Single-device path (mesh=None)
+    only.  dry=True skips the execution pass (shape/signature check).
+    Returns the number of stage signatures prepared."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    chips = machine.chips()
+    pcs = config.pcs
+    fri_config = pcs.config
+    shift = pcs.coset_shift()
+    log_blowup = pcs.log_blowup
+    hasher = fri_config.hasher
+
+    u32 = jnp.uint32
+
+    def sds(*shape):
+        return jax.ShapeDtypeStruct(shape, u32)
+
+    qds = [get_log_quotient_degree(machine, c) for c in chips]
+    prep_shapes = {}
+    for ci, c in enumerate(chips):
+        p = c.preprocessed_trace()
+        if p is not None:
+            prep_shapes[ci] = tuple(int(x) for x in np.asarray(p).shape)
+    main_shapes = [
+        tuple(int(x) for x in np.asarray(c.generate_trace(machine)).shape)
+        for c in chips
+    ]
+    log_degrees = [h.bit_length() - 1 for (h, _w) in main_shapes]
+    perm_shapes = [
+        (1 << ld, (len(c.all_interactions(machine)) + 1) * 5)
+        for c, ld in zip(chips, log_degrees)
+    ]
+    quot_shapes = [(1 << ld, (1 << qd) * 5)
+                   for ld, qd in zip(log_degrees, qds)]
+    coset_shifts = [bb.h_exp(shift, 1 << qd) for qd in qds]
+
+    jobs = []  # (jit_fn, arg ShapeDtypeStructs)
+
+    def add(fn, *args):
+        jobs.append((fn, args))
+
+    # LDE stages (prep/main/perm at dshift=1; quotient at its coset shift)
+    lde_keys = set()
+    for shape in list(prep_shapes.values()) + main_shapes + perm_shapes:
+        lde_keys.add((shape, 1))
+    for shape, ds in zip(quot_shapes, coset_shifts):
+        lde_keys.add((shape, ds))
+    for shape, ds in lde_keys:
+        add(_lde_stage(shape, ds, log_blowup, shift), sds(*shape))
+
+    # Merkle level hashes per commit group (+ FRI layer commits below),
+    # and the per-tree batched query-opening stages
+    hash_keys = set()
+    nq = fri_config.num_queries
+
+    def add_open_batch(committed):
+        lm = max(int(h).bit_length() - 1 for (h, _w) in committed)
+        if lm == 0:
+            return
+        mat_shapes = tuple(committed)
+        level_shapes = tuple((1 << k, 8) for k in range(lm, 0, -1))
+        fn = _open_batch_stage(mat_shapes, level_shapes, lm, nq)
+        add(fn,
+            tuple(_sds(*s) for s in mat_shapes),
+            tuple(_sds(*s) for s in level_shapes),
+            jax.ShapeDtypeStruct((nq,), jnp.int32))
+
+    for group in (
+        [prep_shapes[ci] for ci in sorted(prep_shapes)] or None,
+        main_shapes,
+        perm_shapes,
+        quot_shapes,
+    ):
+        if not group:
+            continue
+        committed = [(h << log_blowup, w) for (h, w) in group]
+        hash_keys.update(_commit_level_shapes(committed))
+        add_open_batch(committed)
+
+    # perm + quotient stages
+    for ci, (c, ld) in enumerate(zip(chips, log_degrees)):
+        h, w = main_shapes[ci]
+        add(_perm_stage(machine, c, ld, w), sds(h, w), sds(3, 5))
+        shapes_q = (
+            (h << log_blowup, w),
+            (perm_shapes[ci][0] << log_blowup, perm_shapes[ci][1]),
+            ((prep_shapes[ci][0] << log_blowup, prep_shapes[ci][1])
+             if ci in prep_shapes else None),
+        )
+        prep_arg = (sds(*shapes_q[2]) if shapes_q[2] is not None else None)
+        add(
+            _quotient_stage(machine, c, ld, qds[ci], shapes_q, shift,
+                            log_blowup),
+            prep_arg, sds(*shapes_q[0]), sds(*shapes_q[1]),
+            sds(3, 5), sds(5), sds(5),
+        )
+
+    # openings + reduced stages, in transcript matrix order
+    all_mats = []  # (coeff shape, kind)
+    for ci in sorted(prep_shapes):
+        all_mats.append((prep_shapes[ci], ("pair", log_degrees[ci])))
+    for ci in range(len(chips)):
+        all_mats.append((main_shapes[ci], ("pair", log_degrees[ci])))
+    for ci in range(len(chips)):
+        all_mats.append((perm_shapes[ci], ("pair", log_degrees[ci])))
+    for ci in range(len(chips)):
+        all_mats.append((quot_shapes[ci], ("pow", qds[ci])))
+    total_w = sum(w for ((_h, w), _k) in all_mats)
+    off = 0
+    for shape, kind in all_mats:
+        h, w = shape
+        add(_openings_stage(shape, kind), sds(*shape), sds(5))
+        n_points = 2 if kind[0] == "pair" else 1
+        log_lde = h.bit_length() - 1 + log_blowup
+        add(
+            _reduced_stage(shape, kind, log_lde, total_w, off, shift),
+            sds(h << log_blowup, w),
+            tuple(sds(w, 5) for _ in range(n_points)),
+            sds(5), sds(5),
+        )
+        off += w
+
+    # FRI layers
+    log_max = max(log_degrees) + log_blowup
+    for layer, log_m in enumerate(range(log_max, fri_config.log_blowup, -1)):
+        add(_fri_pair_mat(log_m), sds(1 << log_m, 5))
+        add(_fri_fold(log_m, frim.layer_shift(shift, layer)),
+            sds(1 << log_m, 5), sds(5))
+        hash_keys.update(_commit_level_shapes([(1 << (log_m - 1), 10)]))
+        add_open_batch([(1 << (log_m - 1), 10)])
+
+    for shape in hash_keys:
+        add(_hasher_jit(shape, hasher), sds(*shape))
+
+    def zeros_of(a):
+        if a is None:
+            return None
+        if isinstance(a, tuple):
+            return tuple(zeros_of(x) for x in a)
+        return jnp.zeros(a.shape, a.dtype)
+
+    def compile_one(job):
+        fn, args = job
+        if dry:  # signature check only (tests): abstract evaluation
+            jax.eval_shape(fn, *args)
+        else:
+            out = fn(*(zeros_of(a) for a in args))
+            jax.block_until_ready(out)
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        list(ex.map(compile_one, jobs))
+    return len(jobs)
 
 
 # ---------------------------------------------------------------------------
@@ -385,10 +704,14 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         if p is not None:
             prep_indices[ci] = len(prep_list)
             prep_list.append(place(jnp.asarray(np.asarray(p, dtype=np.uint32))))
-    main_traces = [
-        place(jnp.asarray(np.asarray(c.generate_trace(machine), dtype=np.uint32)))
-        for c in chips
-    ]
+    from ..utils import stage
+
+    with stage("generate main traces"):
+        main_traces = [
+            place(jnp.asarray(np.asarray(c.generate_trace(machine),
+                                         dtype=np.uint32)))
+            for c in chips
+        ]
     log_degrees = [int(t.shape[0]).bit_length() - 1 for t in main_traces]
     g_subgroups = [bb.two_adic_generator(ld) for ld in log_degrees]
 
@@ -413,15 +736,17 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         return tree, coeffs, ldes
 
     # -- transcript ---------------------------------------------------------
-    if prep_list:
-        prep_tree, prep_coeffs, prep_ldes = commit(prep_list)
-        prep_root = prep_tree.root
-    else:
-        prep_tree, prep_coeffs, prep_ldes = None, [], []
-        prep_root = np.zeros(8, dtype=np.uint32)
+    with stage("commit to preprocessed traces"):
+        if prep_list:
+            prep_tree, prep_coeffs, prep_ldes = commit(prep_list)
+            prep_root = prep_tree.root
+        else:
+            prep_tree, prep_coeffs, prep_ldes = None, [], []
+            prep_root = np.zeros(8, dtype=np.uint32)
     challenger.observe_digest(prep_root)
 
-    main_tree, main_coeffs, main_ldes = commit(main_traces)
+    with stage("commit to main traces"):
+        main_tree, main_coeffs, main_ldes = commit(main_traces)
     challenger.observe_digest(main_tree.root)
 
     perm_challenges = [challenger.sample_ext() for _ in range(3)]
@@ -430,14 +755,16 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     perm_traces = []
     perm_flat = []
     cumulative_sums_dev = []
-    for c, t in zip(chips, main_traces):
-        fn = _perm_stage(machine, c, int(t.shape[0]).bit_length() - 1,
-                         int(t.shape[1]))
-        pt, flat, cs = fn(t, ch_arr)
-        perm_traces.append(pt)
-        perm_flat.append(flat)
-        cumulative_sums_dev.append(cs)
-    perm_tree, perm_coeffs, perm_ldes = commit(perm_flat)
+    with stage("generate permutation traces"):
+        for c, t in zip(chips, main_traces):
+            fn = _perm_stage(machine, c, int(t.shape[0]).bit_length() - 1,
+                             int(t.shape[1]))
+            pt, flat, cs = fn(t, ch_arr)
+            perm_traces.append(pt)
+            perm_flat.append(flat)
+            cumulative_sums_dev.append(cs)
+    with stage("commit to permutation traces"):
+        perm_tree, perm_coeffs, perm_ldes = commit(perm_flat)
     challenger.observe_digest(perm_tree.root)
     cumulative_sums = [
         tuple(int(x) for x in np.asarray(bb.from_monty(cs)))
@@ -458,6 +785,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     # -- quotient -----------------------------------------------------------
     quotient_mats = []
     coset_shifts = []
+    qstage = stage("compute quotient polynomial")
+    qstage.__enter__()
     for ci, chip in enumerate(chips):
         prep_lde = prep_ldes[prep_indices[ci]] if ci in prep_indices else None
         shapes_q = (
@@ -471,9 +800,11 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
                   bb.from_monty(cumulative_sums_dev[ci]))
         quotient_mats.append(qmat)
         coset_shifts.append(bb.h_exp(shift, 1 << qds[ci]))
-    quotient_tree, quotient_coeffs, quotient_ldes = commit(
-        quotient_mats, coset_shifts
-    )
+    qstage.__exit__(None, None, None)
+    with stage("commit to quotient chunks"):
+        quotient_tree, quotient_coeffs, quotient_ldes = commit(
+            quotient_mats, coset_shifts
+        )
     challenger.observe_digest(quotient_tree.root)
 
     # -- openings -----------------------------------------------------------
@@ -506,10 +837,11 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         all_coeffs += coeffs
         all_ldes += ldes
         all_kinds += list(kinds)
-    opened_dev = [
-        _openings_stage(tuple(int(x) for x in c.shape), kind)(c, zeta_m)
-        for c, kind in zip(all_coeffs, all_kinds)
-    ]
+    with stage("open at zeta"):
+        opened_dev = [
+            _openings_stage(tuple(int(x) for x in c.shape), kind)(c, zeta_m)
+            for c, kind in zip(all_coeffs, all_kinds)
+        ]
     # observe opened values (canonical, host)
     opened_host = [
         [_to_ext_tuples(bb.from_monty(v)) for v in mat_vals]
@@ -525,17 +857,18 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     reduced = {}
     off = 0
     total_w = sum(int(c.shape[1]) for c in all_coeffs)
-    for coeffs, lde, vals, kind in zip(all_coeffs, all_ldes, opened_dev, all_kinds):
-        shape = tuple(int(x) for x in coeffs.shape)
-        log_lde = int(lde.shape[0]).bit_length() - 1
-        contrib = _reduced_stage(shape, kind, log_lde, total_w, off, shift)(
-            lde, vals, zeta_m, alpha_fri_m
-        )
-        if log_lde in reduced:
-            reduced[log_lde] = bb.add(reduced[log_lde], contrib)
-        else:
-            reduced[log_lde] = contrib
-        off += shape[1]
+    with stage("reduce openings"):
+        for coeffs, lde, vals, kind in zip(all_coeffs, all_ldes, opened_dev,
+                                           all_kinds):
+            shape = tuple(int(x) for x in coeffs.shape)
+            log_lde = int(lde.shape[0]).bit_length() - 1
+            contrib = _reduced_stage(shape, kind, log_lde, total_w, off,
+                                     shift)(lde, vals, zeta_m, alpha_fri_m)
+            if log_lde in reduced:
+                reduced[log_lde] = bb.add(reduced[log_lde], contrib)
+            else:
+                reduced[log_lde] = contrib
+            off += shape[1]
 
     # -- FRI ----------------------------------------------------------------
     log_max = max(reduced)
@@ -544,6 +877,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     commits = []
     layer_trees = []
     layer = 0
+    fstage = stage("FRI commit phase")
+    fstage.__enter__()
     for log_m in range(log_max, log_min, -1):
         pair_mat = _fri_pair_mat(log_m)(current)
         root, levels = _build_levels_jit([pair_mat], fri_config.hasher)
@@ -561,10 +896,13 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         if nxt in reduced:
             current = bb.add(current, reduced[nxt])
 
+    fstage.__exit__(None, None, None)
     final_vals = np.asarray(bb.from_monty(current))
     final_poly = tuple(int(v) for v in final_vals[0])
     challenger.observe_ext(final_poly)
-    pow_witness = frim.grind_device(challenger, fri_config.proof_of_work_bits)
+    with stage("PoW grind"):
+        pow_witness = frim.grind_device(challenger,
+                                        fri_config.proof_of_work_bits)
     query_indices = [
         challenger.sample_bits(log_max)
         for _ in range(fri_config.num_queries)
@@ -572,6 +910,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     qidx = np.array(query_indices, dtype=np.int64)
 
     # -- query openings (batched per tree) ----------------------------------
+    ostage = stage("query openings")
+    ostage.__enter__()
     fri_queries = []
     layer_rows = []
     layer_paths = []
@@ -620,6 +960,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
                 input_openings=input_openings, fri_query=fri_queries[qi]
             )
         )
+    ostage.__exit__(None, None, None)
     opening_proof = PcsProof(fri=fri_proof, query_proofs=pcs_queries)
 
     # -- assemble opened values per chip ------------------------------------

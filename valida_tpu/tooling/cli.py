@@ -98,8 +98,9 @@ def main(argv=None):
     if args.action == "prove":
         machine.run(advice=advice)
         if args.jit:
-            from ..machine.jit_prover import prove_jit
+            from ..machine.jit_prover import prove_jit, warmup_jit
 
+            warmup_jit(machine, config)
             proof = prove_jit(machine, config)
         else:
             proof = machine.prove(config)
