@@ -73,11 +73,12 @@ class DeviceTree:
     """Device-resident Merkle tree over committed matrices with batched
     query opening (one gather per level, one host fetch per tree)."""
 
-    def __init__(self, mats, root, levels):
+    def __init__(self, mats, root, levels, exported=True):
         self.mats = mats  # device canonical [h, w]
         self.root = np.asarray(root)
         self.levels = levels
         self.log_max = max(levels)
+        self.exported = exported
 
     def open_batch(self, indices: np.ndarray):
         """indices: [q] leaf indices -> (rows per mat: list of np [q, w],
@@ -94,7 +95,7 @@ class DeviceTree:
         level_shapes = tuple(tuple(int(x) for x in a.shape)
                              for a in level_arrays)
         fn = _open_batch_stage(mat_shapes, level_shapes, self.log_max,
-                               len(indices))
+                               len(indices), self.exported)
         rows, paths = fn(tuple(self.mats), level_arrays,
                          jnp.asarray(indices.astype(np.int32)))
         return [np.asarray(r) for r in rows], np.asarray(paths)
@@ -141,12 +142,12 @@ def _stage_cache_enabled() -> bool:
     return os.environ.get("VALIDA_TPU_STAGE_CACHE_OFF", "0") != "1"
 
 
-def _exported_stage(key: str, stage_fn, abstract_args):
+def _exported_stage(key: str, stage_fn, abstract_args, exported=True):
     """stage_fn (python) + abstract args -> a callable.
 
     Loads the serialized export when present; otherwise traces, exports,
     serializes.  Falls back to plain jit on any export limitation."""
-    if not _stage_cache_enabled():
+    if not exported or not _stage_cache_enabled():
         return jax.jit(stage_fn)
     import hashlib
     from jax import export as jexport
@@ -157,10 +158,13 @@ def _exported_stage(key: str, stage_fn, abstract_args):
     kh = hashlib.sha256(full_key.encode()).hexdigest()[:32]
     cache_dir = _stage_cache_dir()
     path = os.path.join(cache_dir, kh + ".jaxexp")
+    # NB: Exported.call builds a fresh eager wrapper on EVERY invocation
+    # (no dispatch cache, per-call lowering).  Wrapping it in one stable
+    # jax.jit gives the C++ fastpath after the first call.
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                return jexport.deserialize(bytearray(f.read())).call
+                return jax.jit(jexport.deserialize(bytearray(f.read())).call)
         except Exception:
             pass  # stale/corrupt: re-export below
     try:
@@ -173,7 +177,7 @@ def _exported_stage(key: str, stage_fn, abstract_args):
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    return exp.call
+    return jax.jit(exp.call)
 
 
 def _sds(*shape):
@@ -186,7 +190,7 @@ def _sds(*shape):
 
 
 @functools.lru_cache(maxsize=None)
-def _open_batch_stage(mat_shapes, level_shapes, log_max, q):
+def _open_batch_stage(mat_shapes, level_shapes, log_max, q, exported=True):
     """Batched Merkle query opening for one tree signature: gathers the
     opened rows of every matrix and the sibling-digest paths in one call."""
 
@@ -207,27 +211,28 @@ def _open_batch_stage(mat_shapes, level_shapes, log_max, q):
     return _exported_stage(
         f"openbatch:{mat_shapes}:{level_shapes}:{log_max}:{q}", stage,
         (tuple(_sds(*s) for s in mat_shapes),
-         tuple(_sds(*s) for s in level_shapes), idx_sds),
+         tuple(_sds(*s) for s in level_shapes), idx_sds), exported,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _hasher_jit(shape, hasher_name):
+def _hasher_jit(shape, hasher_name, exported=True):
     from ..crypto.merkle import get_hasher
 
     return _exported_stage(
         f"hash:{shape}:{hasher_name}",
         get_hasher(hasher_name).hash_words,
-        (_sds(*shape),),
+        (_sds(*shape),), exported,
     )
 
 
-def _hash_level(mats, hasher_name="keccak"):
+def _hash_level(mats, hasher_name="keccak", exported=True):
     cat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
-    return _hasher_jit(tuple(int(x) for x in cat.shape), hasher_name)(cat)
+    return _hasher_jit(tuple(int(x) for x in cat.shape), hasher_name,
+                       exported)(cat)
 
 
-def _build_levels_jit(mats, hasher_name="keccak"):
+def _build_levels_jit(mats, hasher_name="keccak", exported=True):
     """Like _build_levels, but per-level jitted keccak calls (small
     compiles, shared across trees of the same shapes)."""
     by_level = {}
@@ -236,21 +241,21 @@ def _build_levels_jit(mats, hasher_name="keccak"):
         by_level.setdefault(k, []).append(m)
     log_max = max(by_level)
     levels = {}
-    d = _hash_level(by_level[log_max], hasher_name)
+    d = _hash_level(by_level[log_max], hasher_name, exported)
     levels[log_max] = d
     k = log_max
     while k > 0:
         k -= 1
-        d = _hash_level([d[0::2], d[1::2]], hasher_name)
+        d = _hash_level([d[0::2], d[1::2]], hasher_name, exported)
         if k in by_level:
-            inj = _hash_level(by_level[k], hasher_name)
-            d = _hash_level([d, inj], hasher_name)
+            inj = _hash_level(by_level[k], hasher_name, exported)
+            d = _hash_level([d, inj], hasher_name, exported)
         levels[k] = d
     return np.asarray(levels[0][0]), levels
 
 
 @functools.lru_cache(maxsize=None)
-def _lde_stage(shape, dshift, log_blowup, shift):
+def _lde_stage(shape, dshift, log_blowup, shift, exported=True):
     def stage(mat):
         m = bb.to_monty(mat)
         coeffs = nttm.intt(m) if dshift == 1 else nttm.coset_intt(m, dshift)
@@ -264,7 +269,8 @@ def _lde_stage(shape, dshift, log_blowup, shift):
         return coeffs, lde, committed
 
     return _exported_stage(
-        f"lde:{shape}:{dshift}:{log_blowup}:{shift}", stage, (_sds(*shape),)
+        f"lde:{shape}:{dshift}:{log_blowup}:{shift}", stage, (_sds(*shape),),
+        exported,
     )
 
 
@@ -338,7 +344,7 @@ def _points_for(zeta_m, kind):
 
 
 @functools.lru_cache(maxsize=None)
-def _openings_stage(shape, kind):
+def _openings_stage(shape, kind, exported=True):
     """kind: ('pair', log_h) -> open at {z, z*g_h}; ('pow', qd) -> z^2^qd."""
 
     def stage(coeffs, zeta_m):
@@ -350,12 +356,13 @@ def _openings_stage(shape, kind):
         return tuple(mat_vals)
 
     return _exported_stage(
-        f"open:{shape}:{kind}", stage, (_sds(*shape), _sds(5))
+        f"open:{shape}:{kind}", stage, (_sds(*shape), _sds(5)), exported
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _reduced_stage(shape, kind, log_lde, total_w, off, shift):
+def _reduced_stage(shape, kind, log_lde, total_w, off, shift,
+                   exported=True):
     """One matrix's contribution to its height's reduced opening."""
     w = shape[1]
 
@@ -382,6 +389,7 @@ def _reduced_stage(shape, kind, log_lde, total_w, off, shift):
         f"red:{shape}:{kind}:{log_lde}:{total_w}:{off}:{shift}", stage,
         (_sds(1 << log_lde, w),
          tuple(_sds(w, 5) for _ in range(n_points)), _sds(5), _sds(5)),
+        exported,
     )
 
 
@@ -393,18 +401,18 @@ def _coset_points_bitrev_cached(log_n, shift):
 
 
 @functools.lru_cache(maxsize=None)
-def _fri_pair_mat(log_m):
+def _fri_pair_mat(log_m, exported=True):
     def stage(current):
         m = current.shape[0]
         return bb.from_monty(current).reshape(m // 2, 10)
 
     return _exported_stage(
-        f"fripair:{log_m}", stage, (_sds(1 << log_m, 5),)
+        f"fripair:{log_m}", stage, (_sds(1 << log_m, 5),), exported
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _fri_fold(log_m, shift_layer):
+def _fri_fold(log_m, shift_layer, exported=True):
     x0inv = frim._x0_inv_table(log_m, shift_layer)
 
     def stage(current, beta_m):
@@ -412,7 +420,7 @@ def _fri_fold(log_m, shift_layer):
 
     return _exported_stage(
         f"frifold:{log_m}:{shift_layer}", stage,
-        (_sds(1 << log_m, 5), _sds(5)),
+        (_sds(1 << log_m, 5), _sds(5)), exported,
     )
 
 
@@ -420,8 +428,9 @@ _PERM_STAGE_CACHE = {}
 _QUOTIENT_STAGE_CACHE = {}
 
 
-def _perm_stage(machine, chip, log_degree, width):
-    key = (type(machine).__name__, chip.name, log_degree, width)
+def _perm_stage(machine, chip, log_degree, width, exported=True):
+    key = (type(machine).__name__, chip.name, log_degree, width,
+           exported)
     fn = _PERM_STAGE_CACHE.get(key)
     if fn is None:
         def stage(main_trace, ch_arr):
@@ -430,7 +439,8 @@ def _perm_stage(machine, chip, log_degree, width):
             return t, flat, t[-1, -1]
 
         fn = _exported_stage(
-            f"perm:{key}", stage, (_sds(1 << log_degree, width), _sds(3, 5))
+            f"perm:{key}", stage, (_sds(1 << log_degree, width), _sds(3, 5)),
+            exported,
         )
         _PERM_STAGE_CACHE[key] = fn
     return fn
@@ -449,8 +459,10 @@ def _decompose_device(q_vals, pcs_shift, qd):
     return jnp.concatenate(chunks, axis=1).reshape(n, (1 << qd) * 5)
 
 
-def _quotient_stage(machine, chip, log_degree, qd, shapes, shift, log_blowup):
-    key = (type(machine).__name__, chip.name, log_degree, qd, shapes)
+def _quotient_stage(machine, chip, log_degree, qd, shapes, shift,
+                    log_blowup, exported=True):
+    key = (type(machine).__name__, chip.name, log_degree, qd, shapes,
+           exported)
     fn = _QUOTIENT_STAGE_CACHE.get(key)
     if fn is None:
         def stage(prep_lde, main_lde, perm_lde, ch_arr, alpha_arr, cum_canon):
@@ -465,6 +477,7 @@ def _quotient_stage(machine, chip, log_degree, qd, shapes, shift, log_blowup):
             f"quot:{key}:{shift}:{log_blowup}", stage,
             (_sds(*prep_s) if prep_s is not None else None,
              _sds(*main_s), _sds(*perm_s), _sds(3, 5), _sds(5), _sds(5)),
+            exported,
         )
         _QUOTIENT_STAGE_CACHE[key] = fn
     return fn
@@ -685,6 +698,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     log_blowup = pcs.log_blowup
     challenger = config.challenger()
 
+    exported = mesh is None  # exported modules are opaque to GSPMD
     row_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -726,13 +740,14 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
                                      row_axis)
             else:
                 fn = _lde_stage(tuple(int(x) for x in mat.shape), dshift,
-                                log_blowup, shift)
+                                log_blowup, shift, exported)
             c, l, cm = fn(mat)
             coeffs.append(c)
             ldes.append(l)
             committed.append(cm)
-        root, levels = _build_levels_jit(committed, fri_config.hasher)
-        tree = DeviceTree(committed, root, levels)
+        root, levels = _build_levels_jit(committed, fri_config.hasher,
+                                         exported)
+        tree = DeviceTree(committed, root, levels, exported)
         return tree, coeffs, ldes
 
     # -- transcript ---------------------------------------------------------
@@ -758,7 +773,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     with stage("generate permutation traces"):
         for c, t in zip(chips, main_traces):
             fn = _perm_stage(machine, c, int(t.shape[0]).bit_length() - 1,
-                             int(t.shape[1]))
+                             int(t.shape[1]), exported)
             pt, flat, cs = fn(t, ch_arr)
             perm_traces.append(pt)
             perm_flat.append(flat)
@@ -795,7 +810,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
             tuple(int(x) for x in prep_lde.shape) if prep_lde is not None else None,
         )
         fn = _quotient_stage(machine, chip, log_degrees[ci], qds[ci],
-                             shapes_q, shift, log_blowup)
+                             shapes_q, shift, log_blowup, exported)
         qmat = fn(prep_lde, main_ldes[ci], perm_ldes[ci], ch_arr, alpha_arr,
                   bb.from_monty(cumulative_sums_dev[ci]))
         quotient_mats.append(qmat)
@@ -839,7 +854,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         all_kinds += list(kinds)
     with stage("open at zeta"):
         opened_dev = [
-            _openings_stage(tuple(int(x) for x in c.shape), kind)(c, zeta_m)
+            _openings_stage(tuple(int(x) for x in c.shape), kind,
+                            exported)(c, zeta_m)
             for c, kind in zip(all_coeffs, all_kinds)
         ]
     # observe opened values (canonical, host)
@@ -863,7 +879,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
             shape = tuple(int(x) for x in coeffs.shape)
             log_lde = int(lde.shape[0]).bit_length() - 1
             contrib = _reduced_stage(shape, kind, log_lde, total_w, off,
-                                     shift)(lde, vals, zeta_m, alpha_fri_m)
+                                     shift, exported)(
+                lde, vals, zeta_m, alpha_fri_m)
             if log_lde in reduced:
                 reduced[log_lde] = bb.add(reduced[log_lde], contrib)
             else:
@@ -880,17 +897,17 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     fstage = stage("FRI commit phase")
     fstage.__enter__()
     for log_m in range(log_max, log_min, -1):
-        pair_mat = _fri_pair_mat(log_m)(current)
-        root, levels = _build_levels_jit([pair_mat], fri_config.hasher)
-        tree = DeviceTree([pair_mat], root, levels)
+        pair_mat = _fri_pair_mat(log_m, exported)(current)
+        root, levels = _build_levels_jit([pair_mat], fri_config.hasher,
+                                         exported)
+        tree = DeviceTree([pair_mat], root, levels, exported)
         layer_trees.append(tree)
         commits.append(tree.root)
         challenger.observe_digest(tree.root)
         beta = challenger.sample_ext()
         beta_m = bb.to_monty(jnp.asarray(np.array(beta, dtype=np.uint32)))
-        current = _fri_fold(log_m, frim.layer_shift(shift, layer))(
-            current, beta_m
-        )
+        current = _fri_fold(log_m, frim.layer_shift(shift, layer),
+                            exported)(current, beta_m)
         layer += 1
         nxt = log_m - 1
         if nxt in reduced:
