@@ -27,7 +27,10 @@ try:
     )
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # persist even sub-second compiles: the prover/verifier issue many
+    # small per-shape hash/gather compiles whose *count* dominates cold
+    # wall-clock (disk is cheap, loading is ~ms)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:  # cache is an optimization only
     pass
@@ -42,6 +45,22 @@ def set_backend(name: str):
     global _BACKEND
     assert name in ("jax", "numpy")
     _BACKEND = name
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def use_backend(name: str):
+    """Temporarily switch the array-creation backend (e.g. the host
+    verifier pins "numpy" so its re-commits never touch the device)."""
+    global _BACKEND
+    old = _BACKEND
+    set_backend(name)
+    try:
+        yield
+    finally:
+        _BACKEND = old
 
 
 def get_backend() -> str:

@@ -43,24 +43,30 @@ def ext_scale(a, s):
     return bb.mul(a, s[..., None] if s.ndim == a.ndim - 1 else s)
 
 
+# All 25 partial products of an ext mul in ONE batched bb.mul call: pair
+# (k, i) at flat position k*5+i takes a_i · b_{(k-i) mod 5}, doubled when
+# the exponent wrapped (x^5 = W = 2, and monty doubling == mul by monty(2),
+# so results are bit-identical to the scalar formula).  Keeping this to a
+# single bb.mul makes ext-heavy prover stages ~20x cheaper to trace/lower
+# (each scalar bb.mul is ~37 jaxpr eqns; openings/perm/quotient stages do
+# thousands of ext muls).
+_EM_I = np.array([i for k in range(D) for i in range(D)], dtype=np.int32)
+_EM_J = np.array([(k - i) % D for k in range(D) for i in range(D)],
+                 dtype=np.int32)
+_EM_OVF = np.array([i + ((k - i) % D) >= D for k in range(D)
+                    for i in range(D)])
+
+
 def ext_mul(a, b):
     """Product modulo x^5 - W.  c_k = sum_{i+j=k} a_i b_j + W·sum_{i+j=k+5}."""
-    w = np.uint32(_W_MONTY)
-    c = []
-    for k in range(D):
-        acc = None
-        for i in range(D):
-            j = k - i
-            if 0 <= j < D:
-                t = bb.mul(a[..., i], b[..., j])
-            else:
-                j5 = k + D - i
-                if not (0 <= j5 < D):
-                    continue
-                t = bb.mul(bb.mul(a[..., i], b[..., j5]), w)
-            acc = t if acc is None else bb.add(acc, t)
-        c.append(acc)
-    return xp_of(a).stack(c, axis=-1)
+    xp = xp_of(a)
+    prod = bb.mul(a[..., _EM_I], b[..., _EM_J])  # [..., 25]
+    prod = xp.where(_EM_OVF, bb.add(prod, prod), prod)
+    t = prod.reshape(prod.shape[:-1] + (D, D))
+    c = t[..., 0]
+    for m in range(1, D):
+        c = bb.add(c, t[..., m])
+    return c
 
 
 def ext_mul_base(a, s):

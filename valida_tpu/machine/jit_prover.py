@@ -73,12 +73,13 @@ class DeviceTree:
     """Device-resident Merkle tree over committed matrices with batched
     query opening (one gather per level, one host fetch per tree)."""
 
-    def __init__(self, mats, root, levels, exported=True):
+    def __init__(self, mats, root, levels, exported=True, ctx=None):
         self.mats = mats  # device canonical [h, w]
         self.root = np.asarray(root)
         self.levels = levels
         self.log_max = max(levels)
         self.exported = exported
+        self.ctx = ctx
 
     def open_batch(self, indices: np.ndarray):
         """indices: [q] leaf indices -> (rows per mat: list of np [q, w],
@@ -95,7 +96,7 @@ class DeviceTree:
         level_shapes = tuple(tuple(int(x) for x in a.shape)
                              for a in level_arrays)
         fn = _open_batch_stage(mat_shapes, level_shapes, self.log_max,
-                               len(indices), self.exported)
+                               len(indices), self.exported, self.ctx)
         rows, paths = fn(tuple(self.mats), level_arrays,
                          jnp.asarray(indices.astype(np.int32)))
         return [np.asarray(r) for r in rows], np.asarray(paths)
@@ -142,18 +143,86 @@ def _stage_cache_enabled() -> bool:
     return os.environ.get("VALIDA_TPU_STAGE_CACHE_OFF", "0") != "1"
 
 
-def _exported_stage(key: str, stage_fn, abstract_args, exported=True):
+# A "ctx" is (mesh, row_axis) or None.  Under a mesh, every inter-stage
+# array follows ONE canonical layout rule: leading (row) dimension sharded
+# over `row_axis` when divisible, replicated otherwise.  Inputs are placed
+# to the rule before each stage call and outputs are constrained to it
+# inside the stage, so exported modules (whose argument shardings are
+# fixed at export time) always see matching layouts, and mesh-sharded
+# stages hit the same persistent exported-stage cache as single-device
+# ones.
+
+
+def _shard_of(ctx, shape):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh, axis = ctx
+    d = mesh.shape[axis]
+    if len(shape) >= 1 and shape[0] >= d and shape[0] % d == 0:
+        return NamedSharding(
+            mesh, PartitionSpec(axis, *([None] * (len(shape) - 1)))
+        )
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def _constrain_outputs(stage_fn, ctx):
+    if ctx is None:
+        return stage_fn
+
+    def wrapped(*args):
+        out = stage_fn(*args)
+        return jax.tree.map(
+            lambda y: jax.lax.with_sharding_constraint(
+                y, _shard_of(ctx, tuple(int(s) for s in y.shape))
+            ),
+            out,
+        )
+
+    return wrapped
+
+
+def _place_calls(fn, ctx):
+    """Wrap a compiled stage so every array argument is placed to the
+    canonical layout first (no-op when already there)."""
+    if ctx is None:
+        return fn
+
+    def call(*args):
+        placed = jax.tree.map(
+            lambda a: (
+                jax.device_put(a, _shard_of(ctx, tuple(int(s)
+                                                       for s in a.shape)))
+                if isinstance(a, jax.Array) else a
+            ),
+            args,
+        )
+        return fn(*placed)
+
+    return call
+
+
+def _ctx_key(ctx) -> str:
+    if ctx is None:
+        return ""
+    mesh, axis = ctx
+    return f"|mesh:{tuple(mesh.shape.items())}:{axis}"
+
+
+def _exported_stage(key: str, stage_fn, abstract_args, exported=True,
+                    ctx=None):
     """stage_fn (python) + abstract args -> a callable.
 
     Loads the serialized export when present; otherwise traces, exports,
     serializes.  Falls back to plain jit on any export limitation."""
+    stage_fn = _constrain_outputs(stage_fn, ctx)
     if not exported or not _stage_cache_enabled():
-        return jax.jit(stage_fn)
+        return _place_calls(jax.jit(stage_fn), ctx)
     import hashlib
     from jax import export as jexport
 
     full_key = "|".join(
-        [key, _source_fingerprint(), jax.__version__, jax.default_backend()]
+        [key + _ctx_key(ctx), _source_fingerprint(), jax.__version__,
+         jax.default_backend()]
     )
     kh = hashlib.sha256(full_key.encode()).hexdigest()[:32]
     cache_dir = _stage_cache_dir()
@@ -164,24 +233,35 @@ def _exported_stage(key: str, stage_fn, abstract_args, exported=True):
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                return jax.jit(jexport.deserialize(bytearray(f.read())).call)
+                loaded = jax.jit(jexport.deserialize(bytearray(f.read())).call)
+                return _place_calls(loaded, ctx)
         except Exception:
             pass  # stale/corrupt: re-export below
     try:
         exp = jexport.export(jax.jit(stage_fn))(*abstract_args)
         blob = exp.serialize()
     except Exception:
-        return jax.jit(stage_fn)  # unexportable stage: in-process jit
+        return _place_calls(jax.jit(stage_fn), ctx)  # unexportable: jit
     os.makedirs(cache_dir, exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
-    return jax.jit(exp.call)
+    return _place_calls(jax.jit(exp.call), ctx)
 
 
-def _sds(*shape):
+def _sds(*shape, ctx=None):
+    if ctx is not None:
+        return jax.ShapeDtypeStruct(shape, jnp.uint32,
+                                    sharding=_shard_of(ctx, shape))
     return jax.ShapeDtypeStruct(shape, jnp.uint32)
+
+
+def _sds_i32(shape, ctx=None):
+    if ctx is not None:
+        return jax.ShapeDtypeStruct(shape, jnp.int32,
+                                    sharding=_shard_of(ctx, shape))
+    return jax.ShapeDtypeStruct(shape, jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -190,7 +270,8 @@ def _sds(*shape):
 
 
 @functools.lru_cache(maxsize=None)
-def _open_batch_stage(mat_shapes, level_shapes, log_max, q, exported=True):
+def _open_batch_stage(mat_shapes, level_shapes, log_max, q, exported=True,
+                      ctx=None):
     """Batched Merkle query opening for one tree signature: gathers the
     opened rows of every matrix and the sibling-digest paths in one call."""
 
@@ -207,32 +288,32 @@ def _open_batch_stage(mat_shapes, level_shapes, log_max, q, exported=True):
         paths = jnp.stack(sibs, axis=1)
         return rows, paths
 
-    idx_sds = jax.ShapeDtypeStruct((q,), jnp.int32)
     return _exported_stage(
         f"openbatch:{mat_shapes}:{level_shapes}:{log_max}:{q}", stage,
-        (tuple(_sds(*s) for s in mat_shapes),
-         tuple(_sds(*s) for s in level_shapes), idx_sds), exported,
+        (tuple(_sds(*s, ctx=ctx) for s in mat_shapes),
+         tuple(_sds(*s, ctx=ctx) for s in level_shapes),
+         _sds_i32((q,), ctx)), exported, ctx,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _hasher_jit(shape, hasher_name, exported=True):
+def _hasher_jit(shape, hasher_name, exported=True, ctx=None):
     from ..crypto.merkle import get_hasher
 
     return _exported_stage(
         f"hash:{shape}:{hasher_name}",
         get_hasher(hasher_name).hash_words,
-        (_sds(*shape),), exported,
+        (_sds(*shape, ctx=ctx),), exported, ctx,
     )
 
 
-def _hash_level(mats, hasher_name="keccak", exported=True):
+def _hash_level(mats, hasher_name="keccak", exported=True, ctx=None):
     cat = jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
     return _hasher_jit(tuple(int(x) for x in cat.shape), hasher_name,
-                       exported)(cat)
+                       exported, ctx)(cat)
 
 
-def _build_levels_jit(mats, hasher_name="keccak", exported=True):
+def _build_levels_jit(mats, hasher_name="keccak", exported=True, ctx=None):
     """Like _build_levels, but per-level jitted keccak calls (small
     compiles, shared across trees of the same shapes)."""
     by_level = {}
@@ -241,37 +322,17 @@ def _build_levels_jit(mats, hasher_name="keccak", exported=True):
         by_level.setdefault(k, []).append(m)
     log_max = max(by_level)
     levels = {}
-    d = _hash_level(by_level[log_max], hasher_name, exported)
+    d = _hash_level(by_level[log_max], hasher_name, exported, ctx)
     levels[log_max] = d
     k = log_max
     while k > 0:
         k -= 1
-        d = _hash_level([d[0::2], d[1::2]], hasher_name, exported)
+        d = _hash_level([d[0::2], d[1::2]], hasher_name, exported, ctx)
         if k in by_level:
-            inj = _hash_level(by_level[k], hasher_name, exported)
-            d = _hash_level([d, inj], hasher_name, exported)
+            inj = _hash_level(by_level[k], hasher_name, exported, ctx)
+            d = _hash_level([d, inj], hasher_name, exported, ctx)
         levels[k] = d
     return np.asarray(levels[0][0]), levels
-
-
-@functools.lru_cache(maxsize=None)
-def _lde_stage(shape, dshift, log_blowup, shift, exported=True):
-    def stage(mat):
-        m = bb.to_monty(mat)
-        coeffs = nttm.intt(m) if dshift == 1 else nttm.coset_intt(m, dshift)
-        padded = jnp.concatenate(
-            [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << log_blowup) - 1),
-            axis=0,
-        )
-        lde = nttm.coset_eval_from_coeffs(padded, shift)
-        log_h = int(mat.shape[0]).bit_length() - 1
-        committed = bb.from_monty(lde[bitrev_indices(log_h + log_blowup)])
-        return coeffs, lde, committed
-
-    return _exported_stage(
-        f"lde:{shape}:{dshift}:{log_blowup}:{shift}", stage, (_sds(*shape),),
-        exported,
-    )
 
 
 def _dist_dif_applies(log_h: int, mesh, row_axis: str) -> bool:
@@ -286,15 +347,29 @@ def _dist_dif_applies(log_h: int, mesh, row_axis: str) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _dist_lde_stage(shape, dshift, log_blowup, shift, mesh, row_axis):
-    """Mesh-sharded _lde_stage: identical values, but both transforms run
-    as the explicit four-step distributed NTT (one all_to_all round each,
-    parallel/dist_ntt.py) with rows sharded over `row_axis`."""
-    from ..parallel.dist_ntt import dist_dif
-
+def _lde_stage(shape, dshift, log_blowup, shift, exported=True, ctx=None):
+    """Coeffs + LDE + bitrev committed rows for one trace matrix.  Under a
+    mesh, transforms big enough for the four-step schedule run as the
+    explicit one-all_to_all-round distributed NTT (parallel/dist_ntt.py)
+    with rows sharded over the ctx row axis; identical values either way."""
     log_h = shape[0].bit_length() - 1
+    use_dist = ctx is not None and _dist_dif_applies(log_h, ctx[0], ctx[1])
 
     def stage(mat):
+        m = bb.to_monty(mat)
+        coeffs = nttm.intt(m) if dshift == 1 else nttm.coset_intt(m, dshift)
+        padded = jnp.concatenate(
+            [coeffs] + [jnp.zeros_like(coeffs)] * ((1 << log_blowup) - 1),
+            axis=0,
+        )
+        lde = nttm.coset_eval_from_coeffs(padded, shift)
+        committed = bb.from_monty(lde[bitrev_indices(log_h + log_blowup)])
+        return coeffs, lde, committed
+
+    def stage_dist(mat):
+        from ..parallel.dist_ntt import dist_dif
+
+        mesh, row_axis = ctx
         m = bb.to_monty(mat)
         coeffs_rev = dist_dif(m, mesh, row_axis, inverse=True)
         coeffs = coeffs_rev[bitrev_indices(log_h)]
@@ -314,7 +389,11 @@ def _dist_lde_stage(shape, dshift, log_blowup, shift, mesh, row_axis):
         lde = lde_rev[bitrev_indices(log_h + log_blowup)]
         return coeffs, lde, committed
 
-    return jax.jit(stage)
+    return _exported_stage(
+        f"lde:{shape}:{dshift}:{log_blowup}:{shift}:{use_dist}",
+        stage_dist if use_dist else stage, (_sds(*shape, ctx=ctx),),
+        exported, ctx,
+    )
 
 
 def _ext_powers_dyn(z, n: int):
@@ -344,7 +423,7 @@ def _points_for(zeta_m, kind):
 
 
 @functools.lru_cache(maxsize=None)
-def _openings_stage(shape, kind, exported=True):
+def _openings_stage(shape, kind, exported=True, ctx=None):
     """kind: ('pair', log_h) -> open at {z, z*g_h}; ('pow', qd) -> z^2^qd."""
 
     def stage(coeffs, zeta_m):
@@ -356,18 +435,28 @@ def _openings_stage(shape, kind, exported=True):
         return tuple(mat_vals)
 
     return _exported_stage(
-        f"open:{shape}:{kind}", stage, (_sds(*shape), _sds(5)), exported
+        f"open:{shape}:{kind}", stage,
+        (_sds(*shape, ctx=ctx), _sds(5, ctx=ctx)), exported, ctx,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _reduced_stage(shape, kind, log_lde, total_w, off, shift,
-                   exported=True):
-    """One matrix's contribution to its height's reduced opening."""
+def _reduced_stage(shape, kind, log_lde, col_offs, shift, exported=True,
+                   ctx=None):
+    """Reduced-opening contribution of ALL matrices sharing one
+    (height, point-kind): their LDEs are concatenated along columns and
+    `col_offs[c]` is column c's absolute alpha-power index in the global
+    matrix order.  Values are bit-identical to per-matrix accumulation
+    (products distribute over modular sums; inverses are unique), but the
+    alpha powers and the per-point denominator inverse batch are computed
+    once per group instead of once per matrix — and one stage compiles
+    instead of one per matrix."""
     w = shape[1]
+    offs = np.asarray(col_offs, dtype=np.int32)
+    n_pows = int(offs.max()) + 1 if w else 1
 
     def stage(lde, vals, zeta_m, alpha_m):
-        apows = _ext_powers_dyn(alpha_m, off + w)[off:]
+        apows = _ext_powers_dyn(alpha_m, n_pows)[offs]
         lde_rev = lde[bitrev_indices(log_lde)]
         combined_l = []
         for d in range(5):
@@ -375,21 +464,27 @@ def _reduced_stage(shape, kind, log_lde, total_w, off, shift,
             combined_l.append(nttm._mod_sum(prod, axis=1))
         combined = jnp.stack(combined_l, axis=-1)
         xs = jnp.asarray(_coset_points_bitrev_cached(log_lde, shift))
+        points = _points_for(zeta_m, kind)
+        # one batched inverse across all points' denominators
+        denoms = jnp.stack(
+            [bb.sub(extf.ext_from_base(xs), z[None, :]) for z in points]
+        )
+        inv_denoms = extf.ext_inv(denoms)
         acc = None
-        for z, y in zip(_points_for(zeta_m, kind), vals):
+        for pi, (z, y) in enumerate(zip(points, vals)):
             comb_y = nttm._mod_sum(extf.ext_mul(apows, y), axis=0)
             num = bb.sub(combined, comb_y[None, :])
-            denom = bb.sub(extf.ext_from_base(xs), z[None, :])
-            quot = extf.ext_mul(num, extf.ext_inv(denom))
+            quot = extf.ext_mul(num, inv_denoms[pi])
             acc = quot if acc is None else bb.add(acc, quot)
         return acc
 
     n_points = 2 if kind[0] == "pair" else 1
     return _exported_stage(
-        f"red:{shape}:{kind}:{log_lde}:{total_w}:{off}:{shift}", stage,
-        (_sds(1 << log_lde, w),
-         tuple(_sds(w, 5) for _ in range(n_points)), _sds(5), _sds(5)),
-        exported,
+        f"red:{shape}:{kind}:{log_lde}:{col_offs}:{shift}", stage,
+        (_sds(1 << log_lde, w, ctx=ctx),
+         tuple(_sds(w, 5, ctx=ctx) for _ in range(n_points)),
+         _sds(5, ctx=ctx), _sds(5, ctx=ctx)),
+        exported, ctx,
     )
 
 
@@ -401,18 +496,19 @@ def _coset_points_bitrev_cached(log_n, shift):
 
 
 @functools.lru_cache(maxsize=None)
-def _fri_pair_mat(log_m, exported=True):
+def _fri_pair_mat(log_m, exported=True, ctx=None):
     def stage(current):
         m = current.shape[0]
         return bb.from_monty(current).reshape(m // 2, 10)
 
     return _exported_stage(
-        f"fripair:{log_m}", stage, (_sds(1 << log_m, 5),), exported
+        f"fripair:{log_m}", stage, (_sds(1 << log_m, 5, ctx=ctx),),
+        exported, ctx,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _fri_fold(log_m, shift_layer, exported=True):
+def _fri_fold(log_m, shift_layer, exported=True, ctx=None):
     x0inv = frim._x0_inv_table(log_m, shift_layer)
 
     def stage(current, beta_m):
@@ -420,7 +516,7 @@ def _fri_fold(log_m, shift_layer, exported=True):
 
     return _exported_stage(
         f"frifold:{log_m}:{shift_layer}", stage,
-        (_sds(1 << log_m, 5), _sds(5)), exported,
+        (_sds(1 << log_m, 5, ctx=ctx), _sds(5, ctx=ctx)), exported, ctx,
     )
 
 
@@ -428,9 +524,9 @@ _PERM_STAGE_CACHE = {}
 _QUOTIENT_STAGE_CACHE = {}
 
 
-def _perm_stage(machine, chip, log_degree, width, exported=True):
+def _perm_stage(machine, chip, log_degree, width, exported=True, ctx=None):
     key = (type(machine).__name__, chip.name, log_degree, width,
-           exported)
+           exported, _ctx_key(ctx))
     fn = _PERM_STAGE_CACHE.get(key)
     if fn is None:
         def stage(main_trace, ch_arr):
@@ -439,8 +535,9 @@ def _perm_stage(machine, chip, log_degree, width, exported=True):
             return t, flat, t[-1, -1]
 
         fn = _exported_stage(
-            f"perm:{key}", stage, (_sds(1 << log_degree, width), _sds(3, 5)),
-            exported,
+            f"perm:{key}", stage,
+            (_sds(1 << log_degree, width, ctx=ctx), _sds(3, 5, ctx=ctx)),
+            exported, ctx,
         )
         _PERM_STAGE_CACHE[key] = fn
     return fn
@@ -460,9 +557,9 @@ def _decompose_device(q_vals, pcs_shift, qd):
 
 
 def _quotient_stage(machine, chip, log_degree, qd, shapes, shift,
-                    log_blowup, exported=True):
+                    log_blowup, exported=True, ctx=None):
     key = (type(machine).__name__, chip.name, log_degree, qd, shapes,
-           exported)
+           exported, _ctx_key(ctx))
     fn = _QUOTIENT_STAGE_CACHE.get(key)
     if fn is None:
         def stage(prep_lde, main_lde, perm_lde, ch_arr, alpha_arr, cum_canon):
@@ -475,9 +572,10 @@ def _quotient_stage(machine, chip, log_degree, qd, shapes, shift,
         main_s, perm_s, prep_s = shapes
         fn = _exported_stage(
             f"quot:{key}:{shift}:{log_blowup}", stage,
-            (_sds(*prep_s) if prep_s is not None else None,
-             _sds(*main_s), _sds(*perm_s), _sds(3, 5), _sds(5), _sds(5)),
-            exported,
+            (_sds(*prep_s, ctx=ctx) if prep_s is not None else None,
+             _sds(*main_s, ctx=ctx), _sds(*perm_s, ctx=ctx),
+             _sds(3, 5, ctx=ctx), _sds(5, ctx=ctx), _sds(5, ctx=ctx)),
+            exported, ctx,
         )
         _QUOTIENT_STAGE_CACHE[key] = fn
     return fn
@@ -487,6 +585,22 @@ def _to_ext_tuples(arr):
     """[w, 5] canonical np array -> list of ext tuples."""
     a = np.asarray(arr)
     return [tuple(int(x) for x in row) for row in a]
+
+
+def _par_map(thunks):
+    """Run independent stage thunks from a thread pool (order-preserving).
+
+    XLA compilation releases the GIL, so first-call compiles of the
+    per-chip / per-group stages overlap across threads; results and
+    transcript order are unchanged (every challenger interaction happens
+    outside these loops).  VALIDA_TPU_PAR=0 forces sequential."""
+    thunks = list(thunks)
+    if len(thunks) <= 1 or os.environ.get("VALIDA_TPU_PAR", "1") == "0":
+        return [t() for t in thunks]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(thunks))) as ex:
+        return list(ex.map(lambda t: t(), thunks))
 
 
 # ---------------------------------------------------------------------------
@@ -618,7 +732,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
             sds(3, 5), sds(5), sds(5),
         )
 
-    # openings + reduced stages, in transcript matrix order
+    # openings + reduced stages, grouped by (height, kind) as in prove_jit
     all_mats = []  # (coeff shape, kind)
     for ci in sorted(prep_shapes):
         all_mats.append((prep_shapes[ci], ("pair", log_degrees[ci])))
@@ -628,20 +742,32 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
         all_mats.append((perm_shapes[ci], ("pair", log_degrees[ci])))
     for ci in range(len(chips)):
         all_mats.append((quot_shapes[ci], ("pow", qds[ci])))
-    total_w = sum(w for ((_h, w), _k) in all_mats)
+    mat_offs = []
     off = 0
-    for shape, kind in all_mats:
-        h, w = shape
+    for (_h, w), _k in all_mats:
+        mat_offs.append(off)
+        off += w
+    groups = {}  # (log_h, kind) -> [mat index]
+    for mi, ((h, _w), kind) in enumerate(all_mats):
+        groups.setdefault((h.bit_length() - 1, kind), []).append(mi)
+    for (log_h, kind), members in groups.items():
+        h = 1 << log_h
+        sum_w = sum(all_mats[mi][0][1] for mi in members)
+        shape = (h, sum_w)
         add(_openings_stage(shape, kind), sds(*shape), sds(5))
         n_points = 2 if kind[0] == "pair" else 1
-        log_lde = h.bit_length() - 1 + log_blowup
+        log_lde = log_h + log_blowup
+        col_offs = tuple(
+            mat_offs[mi] + j
+            for mi in members
+            for j in range(all_mats[mi][0][1])
+        )
         add(
-            _reduced_stage(shape, kind, log_lde, total_w, off, shift),
-            sds(h << log_blowup, w),
-            tuple(sds(w, 5) for _ in range(n_points)),
+            _reduced_stage(shape, kind, log_lde, col_offs, shift),
+            sds(h << log_blowup, sum_w),
+            tuple(sds(sum_w, 5) for _ in range(n_points)),
             sds(5), sds(5),
         )
-        off += w
 
     # FRI layers
     log_max = max(log_degrees) + log_blowup
@@ -698,15 +824,15 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     log_blowup = pcs.log_blowup
     challenger = config.challenger()
 
-    exported = mesh is None  # exported modules are opaque to GSPMD
-    row_sharding = None
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        row_sharding = NamedSharding(mesh, PartitionSpec(row_axis, None))
+    ctx = (mesh, row_axis) if mesh is not None else None
+    exported = True  # mesh-sharded stages export fine (shardings pinned)
 
     def place(mat):
-        return jax.device_put(mat, row_sharding) if row_sharding else mat
+        if ctx is None:
+            return mat
+        return jax.device_put(
+            mat, _shard_of(ctx, tuple(int(x) for x in mat.shape))
+        )
 
     qds = [get_log_quotient_degree(machine, c) for c in chips]
 
@@ -731,23 +857,22 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
 
     def commit(mats, dshifts=None):
         dshifts = dshifts or [1] * len(mats)
-        coeffs, ldes, committed = [], [], []
-        for mat, dshift in zip(mats, dshifts):
-            log_h = int(mat.shape[0]).bit_length() - 1
-            if _dist_dif_applies(log_h, mesh, row_axis):
-                fn = _dist_lde_stage(tuple(int(x) for x in mat.shape),
-                                     dshift, log_blowup, shift, mesh,
-                                     row_axis)
-            else:
-                fn = _lde_stage(tuple(int(x) for x in mat.shape), dshift,
-                                log_blowup, shift, exported)
-            c, l, cm = fn(mat)
-            coeffs.append(c)
-            ldes.append(l)
-            committed.append(cm)
+
+        def one(mat, dshift):
+            fn = _lde_stage(tuple(int(x) for x in mat.shape), dshift,
+                            log_blowup, shift, exported, ctx)
+            return fn(mat)
+
+        outs = _par_map([
+            (lambda m=mat, d=dshift: one(m, d))
+            for mat, dshift in zip(mats, dshifts)
+        ])
+        coeffs = [o[0] for o in outs]
+        ldes = [o[1] for o in outs]
+        committed = [o[2] for o in outs]
         root, levels = _build_levels_jit(committed, fri_config.hasher,
-                                         exported)
-        tree = DeviceTree(committed, root, levels, exported)
+                                         exported, ctx)
+        tree = DeviceTree(committed, root, levels, exported, ctx)
         return tree, coeffs, ldes
 
     # -- transcript ---------------------------------------------------------
@@ -767,17 +892,16 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     perm_challenges = [challenger.sample_ext() for _ in range(3)]
     ch_arr = jnp.asarray(np.array(perm_challenges, dtype=np.uint32))
 
-    perm_traces = []
-    perm_flat = []
-    cumulative_sums_dev = []
     with stage("generate permutation traces"):
-        for c, t in zip(chips, main_traces):
-            fn = _perm_stage(machine, c, int(t.shape[0]).bit_length() - 1,
-                             int(t.shape[1]), exported)
-            pt, flat, cs = fn(t, ch_arr)
-            perm_traces.append(pt)
-            perm_flat.append(flat)
-            cumulative_sums_dev.append(cs)
+        perm_outs = _par_map([
+            (lambda c=c, t=t: _perm_stage(
+                machine, c, int(t.shape[0]).bit_length() - 1,
+                int(t.shape[1]), exported, ctx)(t, ch_arr))
+            for c, t in zip(chips, main_traces)
+        ])
+    perm_traces = [o[0] for o in perm_outs]
+    perm_flat = [o[1] for o in perm_outs]
+    cumulative_sums_dev = [o[2] for o in perm_outs]
     with stage("commit to permutation traces"):
         perm_tree, perm_coeffs, perm_ldes = commit(perm_flat)
     challenger.observe_digest(perm_tree.root)
@@ -798,11 +922,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         check_cumulative_sums(cumulative_sums)
 
     # -- quotient -----------------------------------------------------------
-    quotient_mats = []
-    coset_shifts = []
-    qstage = stage("compute quotient polynomial")
-    qstage.__enter__()
-    for ci, chip in enumerate(chips):
+    def quotient_one(ci, chip):
         prep_lde = prep_ldes[prep_indices[ci]] if ci in prep_indices else None
         shapes_q = (
             tuple(int(x) for x in main_ldes[ci].shape),
@@ -810,12 +930,16 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
             tuple(int(x) for x in prep_lde.shape) if prep_lde is not None else None,
         )
         fn = _quotient_stage(machine, chip, log_degrees[ci], qds[ci],
-                             shapes_q, shift, log_blowup, exported)
-        qmat = fn(prep_lde, main_ldes[ci], perm_ldes[ci], ch_arr, alpha_arr,
+                             shapes_q, shift, log_blowup, exported, ctx)
+        return fn(prep_lde, main_ldes[ci], perm_ldes[ci], ch_arr, alpha_arr,
                   bb.from_monty(cumulative_sums_dev[ci]))
-        quotient_mats.append(qmat)
-        coset_shifts.append(bb.h_exp(shift, 1 << qds[ci]))
-    qstage.__exit__(None, None, None)
+
+    with stage("compute quotient polynomial"):
+        quotient_mats = _par_map([
+            (lambda ci=ci, chip=chip: quotient_one(ci, chip))
+            for ci, chip in enumerate(chips)
+        ])
+    coset_shifts = [bb.h_exp(shift, 1 << qd) for qd in qds]
     with stage("commit to quotient chunks"):
         quotient_tree, quotient_coeffs, quotient_ldes = commit(
             quotient_mats, coset_shifts
@@ -852,12 +976,33 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         all_coeffs += coeffs
         all_ldes += ldes
         all_kinds += list(kinds)
+
+    # group matrices by (height, point-kind): one openings stage and one
+    # reduced stage per group instead of per matrix (identical values,
+    # far fewer compiles — see _reduced_stage)
+    groups = {}  # (log_h, kind) -> [mat index]
+    for mi, (c, kind) in enumerate(zip(all_coeffs, all_kinds)):
+        key = (int(c.shape[0]).bit_length() - 1, kind)
+        groups.setdefault(key, []).append(mi)
+
+    def open_group(kind, members):
+        cat = (all_coeffs[members[0]] if len(members) == 1 else
+               jnp.concatenate([all_coeffs[mi] for mi in members], axis=1))
+        return _openings_stage(tuple(int(x) for x in cat.shape), kind,
+                               exported, ctx)(cat, zeta_m)
+
     with stage("open at zeta"):
-        opened_dev = [
-            _openings_stage(tuple(int(x) for x in c.shape), kind,
-                            exported)(c, zeta_m)
-            for c, kind in zip(all_coeffs, all_kinds)
-        ]
+        group_vals = _par_map([
+            (lambda kind=kind, members=members: open_group(kind, members))
+            for (_lh, kind), members in groups.items()
+        ])
+        opened_dev = [None] * len(all_coeffs)
+        for vals, members in zip(group_vals, groups.values()):
+            off = 0
+            for mi in members:
+                w = int(all_coeffs[mi].shape[1])
+                opened_dev[mi] = tuple(v[off:off + w] for v in vals)
+                off += w
     # observe opened values (canonical, host)
     opened_host = [
         [_to_ext_tuples(bb.from_monty(v)) for v in mat_vals]
@@ -870,22 +1015,47 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     alpha_fri = challenger.sample_ext()
     alpha_fri_m = bb.to_monty(jnp.asarray(np.array(alpha_fri, dtype=np.uint32)))
 
-    reduced = {}
+    mat_offs = []  # absolute alpha-power offset of each matrix
     off = 0
-    total_w = sum(int(c.shape[1]) for c in all_coeffs)
+    for c in all_coeffs:
+        mat_offs.append(off)
+        off += int(c.shape[1])
+    def reduce_group(log_h, kind, members):
+        log_lde = log_h + log_blowup
+        cat_lde = (all_ldes[members[0]] if len(members) == 1 else
+                   jnp.concatenate([all_ldes[mi] for mi in members],
+                                   axis=1))
+        n_points = 2 if kind[0] == "pair" else 1
+        cat_vals = tuple(
+            (opened_dev[members[0]][pi] if len(members) == 1 else
+             jnp.concatenate([opened_dev[mi][pi] for mi in members],
+                             axis=0))
+            for pi in range(n_points)
+        )
+        col_offs = tuple(
+            mat_offs[mi] + j
+            for mi in members
+            for j in range(int(all_coeffs[mi].shape[1]))
+        )
+        shape = (int(cat_lde.shape[0]) >> log_blowup, int(cat_lde.shape[1]))
+        return _reduced_stage(shape, kind, log_lde, col_offs,
+                              shift, exported, ctx)(
+            cat_lde, cat_vals, zeta_m, alpha_fri_m)
+
+    reduced = {}
     with stage("reduce openings"):
-        for coeffs, lde, vals, kind in zip(all_coeffs, all_ldes, opened_dev,
-                                           all_kinds):
-            shape = tuple(int(x) for x in coeffs.shape)
-            log_lde = int(lde.shape[0]).bit_length() - 1
-            contrib = _reduced_stage(shape, kind, log_lde, total_w, off,
-                                     shift, exported)(
-                lde, vals, zeta_m, alpha_fri_m)
+        contribs = _par_map([
+            (lambda lh=log_h, kind=kind, members=members:
+             reduce_group(lh, kind, members))
+            for (log_h, kind), members in groups.items()
+        ])
+        for ((log_h, _kind), _members), contrib in zip(groups.items(),
+                                                       contribs):
+            log_lde = log_h + log_blowup
             if log_lde in reduced:
                 reduced[log_lde] = bb.add(reduced[log_lde], contrib)
             else:
                 reduced[log_lde] = contrib
-            off += shape[1]
 
     # -- FRI ----------------------------------------------------------------
     log_max = max(reduced)
@@ -897,17 +1067,17 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     fstage = stage("FRI commit phase")
     fstage.__enter__()
     for log_m in range(log_max, log_min, -1):
-        pair_mat = _fri_pair_mat(log_m, exported)(current)
+        pair_mat = _fri_pair_mat(log_m, exported, ctx)(current)
         root, levels = _build_levels_jit([pair_mat], fri_config.hasher,
-                                         exported)
-        tree = DeviceTree([pair_mat], root, levels, exported)
+                                         exported, ctx)
+        tree = DeviceTree([pair_mat], root, levels, exported, ctx)
         layer_trees.append(tree)
         commits.append(tree.root)
         challenger.observe_digest(tree.root)
         beta = challenger.sample_ext()
         beta_m = bb.to_monty(jnp.asarray(np.array(beta, dtype=np.uint32)))
         current = _fri_fold(log_m, frim.layer_shift(shift, layer),
-                            exported)(current, beta_m)
+                            exported, ctx)(current, beta_m)
         layer += 1
         nxt = log_m - 1
         if nxt in reduced:

@@ -44,7 +44,13 @@ def verify(machine, config, proof: MachineProof) -> None:
             prep_indices[ci] = len(prep_list)
             prep_list.append(np.asarray(p, dtype=np.uint32))
     if prep_list:
-        prep_commit, _ = pcs.commit_batches(prep_list)
+        from ..backend import use_backend
+
+        # host verifier: the re-commit runs on the numpy path (tiny
+        # preprocessed matrices; eager per-shape device compiles would
+        # dominate wall clock)
+        with use_backend("numpy"):
+            prep_commit, _ = pcs.commit_batches(prep_list)
         if not np.array_equal(np.asarray(prep_commit),
                               np.asarray(proof.commitments.preprocessed)):
             raise VerificationError("preprocessed commitment mismatch")
