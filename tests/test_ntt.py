@@ -150,12 +150,3 @@ def test_eval_at_ext_point():
         for i in range(n):
             want = extf.e_add(want, extf.e_scale(zp[i], int(coeffs[i, c])))
         np.testing.assert_array_equal(got[c], np.array(want, dtype=np.uint32))
-
-
-def test_dif_hybrid_fallback_matches():
-    from valida_tpu.poly.pallas_ntt import dif_hybrid
-
-    log_n = 8
-    a = RNG.integers(0, bb.P, size=(1 << log_n, 4), dtype=np.uint32)
-    am = to_m(a)
-    np.testing.assert_array_equal(from_m(dif_hybrid(am)), from_m(nttm.dif(am)))
