@@ -52,15 +52,46 @@ def _expand_constants(n: int) -> list[int]:
     return out
 
 
-ROUND_CONSTANTS = np.array(
-    _expand_constants(NUM_ROUNDS * WIDTH), dtype=np.uint64
-).reshape(NUM_ROUNDS, WIDTH)
+# Constant provenance is flag-selectable (VALIDA_TPU_POSEIDON):
+#   "sha256" (default): SHA-256 counter-mode expansion of the seed + a
+#     Cauchy MDS — the round-1 scheme, self-consistent, documented in
+#     docs/deviations.md.
+#   "p3rng": the reference's own derivation chain, reconstructed in
+#     crypto/p3_rng.py (Seeder("validia seed") -> SipRng -> Pcg64 ->
+#     BabyBear rejection sampling; CosetMds::default()).  Components are
+#     KAT-verified where vectors exist (PCG64, SipHash core); the SipRng
+#     conversion and the monty-vs-canonical sample interpretation remain
+#     unverifiable in this environment — see p3_rng.py's docstring.
+# Proofs produced under the two schemes differ (different Fiat-Shamir
+# stream) but both verify under the matching verifier config.
+import os as _os
 
-# Cauchy MDS: M[i][j] = 1/(x_i + y_j), x_i = i, y_j = WIDTH + j.
-_MDS_INT = [
-    [bb.h_inv(i + WIDTH + j) for j in range(WIDTH)] for i in range(WIDTH)
-]
-MDS = np.array(_MDS_INT, dtype=np.uint64)
+PARAM_SET = _os.environ.get("VALIDA_TPU_POSEIDON", "sha256")
+
+
+def _build_params(param_set: str):
+    if param_set == "p3rng":
+        from .p3_rng import coset_mds_matrix, poseidon_round_constants
+
+        rc = np.array(
+            poseidon_round_constants(NUM_ROUNDS * WIDTH), dtype=np.uint64
+        ).reshape(NUM_ROUNDS, WIDTH)
+        mds = np.array(coset_mds_matrix(WIDTH), dtype=np.uint64)
+        return rc, mds
+    assert param_set == "sha256", param_set
+    rc = np.array(
+        _expand_constants(NUM_ROUNDS * WIDTH), dtype=np.uint64
+    ).reshape(NUM_ROUNDS, WIDTH)
+    # Cauchy MDS: M[i][j] = 1/(x_i + y_j), x_i = i, y_j = WIDTH + j.
+    mds = np.array(
+        [[bb.h_inv(i + WIDTH + j) for j in range(WIDTH)]
+         for i in range(WIDTH)],
+        dtype=np.uint64,
+    )
+    return rc, mds
+
+
+ROUND_CONSTANTS, MDS = _build_params(PARAM_SET)
 
 _P64 = np.uint64(bb.P)
 
