@@ -562,15 +562,20 @@ def ex_loads8(m, ops):
 
 
 def ex_store32(m, ops):
+    # Channel order follows the AIR (cpu/src/stark.rs:121-122,144-145):
+    # channel 0 reads the VALUE at fp+c, channel 1 reads the cell holding
+    # the target address at fp+b.  The reference's execute reads them in
+    # the opposite order (cpu/src/lib.rs:629-639), contradicting its own
+    # (never-exercised) store constraints — see docs/deviations.md.
     cpu = m.cpu()
     clk = cpu.clock
     ra = (cpu.fp + ops.c()) & MASK32
     assert is_mul_4(ra), "STORE32: read address not a multiple of 4"
     wa_loc = (cpu.fp + ops.b()) & MASK32
     assert is_mul_4(wa_loc), "STORE32: write address location not a multiple of 4"
-    wa = _rd(m, wa_loc, 0, OC.STORE32)
+    cell = _rd(m, ra, 0, OC.STORE32)
+    wa = _rd(m, wa_loc, 1, OC.STORE32)
     assert is_mul_4(wa), "STORE32: write address not a multiple of 4"
-    cell = _rd(m, ra, 1, OC.STORE32)
     m.mem().write(clk, wa, cell, True)
     cpu.pc += 1
     cpu.push_op("store", None, OC.STORE32, ops)

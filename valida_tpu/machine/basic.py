@@ -163,13 +163,17 @@ class BasicMachine(Machine):
         for addr, value in self._static_data.cells.items():
             self._mem.write_static(addr, value)
 
+    # subclass compositions override to extend/restrict the ISA
+    # (machine/compositions.py)
+    DISPATCH = _DISPATCH
+
     def step(self, advice: AdviceProvider):
         pc = self._cpu.pc
         iw = self._program.program_rom.get_instruction(pc)
         if iw.opcode == OC.READ_ADVICE:
             ex_read_advice(self, iw.operands, advice)
         else:
-            fn = _DISPATCH.get(iw.opcode)
+            fn = type(self).DISPATCH.get(iw.opcode)
             if fn is None:
                 raise RuntimeError(f"Unrecognized opcode: {iw.opcode}")
             fn(self, iw.operands)

@@ -295,14 +295,17 @@ struct Vm {
         break;
       }
       case STORE32: {
+        // channel 0 = value read at fp+c, channel 1 = target-address cell
+        // at fp+b (the AIR's layout, cpu/src/stark.rs:121-122; keep in
+        // exact lockstep with chips/cpu.py ex_store32)
         uint32_t ra = fp + (uint32_t)iw.ops[2];
         if (ra % 4) return fail("STORE32: read address misaligned");
         uint32_t wa_loc = fp + (uint32_t)iw.ops[1];
         if (wa_loc % 4) return fail("STORE32: write address location misaligned");
+        if (!mem_read(ra, &v, opc, 0)) return false;
         uint32_t wa;
-        if (!mem_read(wa_loc, &wa, opc, 0)) return false;
+        if (!mem_read(wa_loc, &wa, opc, 1)) return false;
         if (wa % 4) return fail("STORE32: write address misaligned");
-        if (!mem_read(ra, &v, opc, 1)) return false;
         mem_write(wa, v);
         pc += 1;
         push_op(K_STORE, false, 0, iw);
