@@ -68,3 +68,34 @@ def test_prove_assembled_fibonacci():
     config = test_config()
     proof = m.prove(config)
     m.verify(config, proof)
+
+
+def test_jalv_same_clk_read_after_write_detected():
+    """An instruction that reads a cell it wrote this cycle (JALV with
+    overlapping operand slots) is unprovable by design (memory phase
+    ordering, docs/deviations.md §12) — both interpreters must reject it
+    at execute time with a clear error, not at prove time."""
+    from valida_tpu.chips.memory import SameClkReadAfterWrite
+    from valida_tpu.native import NativeRunError, available
+
+    asm = """\
+main:
+    imm32 -4(fp), 0, 0, 0, 48
+    jalv -4(fp), -4(fp), -4(fp)
+    stop
+"""
+    code = assemble(asm)
+
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM.from_machine_code(code))
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    with pytest.raises(SameClkReadAfterWrite, match="same-clk"):
+        m.run(advice=FixedAdviceProvider.empty())
+
+    if available():
+        m2 = BasicMachine()
+        m2.program().set_program_rom(ProgramROM.from_machine_code(code))
+        m2.cpu().fp = 0x1000
+        with pytest.raises(NativeRunError, match="same-clk"):
+            m2.run_native()

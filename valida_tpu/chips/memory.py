@@ -61,6 +61,10 @@ class ReadBeforeWrite(Exception):
     pass
 
 
+class SameClkReadAfterWrite(Exception):
+    pass
+
+
 class MemoryChip(Chip):
     name = "mem"
 
@@ -75,6 +79,22 @@ class MemoryChip(Chip):
 
     # -- execution side (memory/src/lib.rs:85-136) --------------------------
 
+    def _check_same_clk_raw(self, clk, address, pc, opcode):
+        """A read of an address already WRITTEN at this clk is unprovable
+        (phase ordering proves reads < writes within a clk — module
+        docstring / docs/deviations.md §12).  Detect it at execute time
+        with a clear error instead of failing later in constraint checks
+        (the JALV-overlapping-operands case)."""
+        for kind, a, _v in self.operations.get(clk, ()):
+            if kind == "w" and a == address:
+                raise SameClkReadAfterWrite(
+                    f"memory chip: read of {address} after a same-clk "
+                    f"write (clk = {clk}, pc = {pc}, opcode = {opcode}); "
+                    "one instruction cannot read a cell it already wrote "
+                    "this cycle — unprovable under the phase-ordered "
+                    "memory argument"
+                )
+
     def read(self, clk, address, log, pc=0, opcode=0, ordinal=0):
         if address not in self.cells:
             raise ReadBeforeWrite(
@@ -83,12 +103,14 @@ class MemoryChip(Chip):
             )
         value = self.cells[address]
         if log:
+            self._check_same_clk_raw(clk, address, pc, opcode)
             self.operations.setdefault(clk, []).append(("r", address, value))
         return value
 
     def read_or_init(self, clk, address, log):
         value = self.cells.get(address, 0)
         if log:
+            self._check_same_clk_raw(clk, address, 0, 0)
             self.operations.setdefault(clk, []).append(("r", address, value))
         return value
 

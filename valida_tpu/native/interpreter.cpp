@@ -88,6 +88,17 @@ struct Vm {
     return false;
   }
 
+  // a read of an address already written at this clk is unprovable under
+  // the phase-ordered memory argument (chips/memory.py docstring); fail
+  // at execute time with a clear error — keep in lockstep with
+  // MemoryChip._check_same_clk_raw
+  bool same_clk_write(uint32_t addr) {
+    for (auto it = mem_ops.rbegin();
+         it != mem_ops.rend() && it->clk == (uint32_t)clock; ++it)
+      if (it->is_write && it->addr == addr) return true;
+    return false;
+  }
+
   bool mem_read(uint32_t addr, uint32_t* out, uint32_t opcode, int ordinal) {
     auto it = cells.find(addr);
     if (it == cells.end()) {
@@ -95,6 +106,12 @@ struct Vm {
                   " (pc = " + std::to_string(pc) +
                   ", opcode = " + std::to_string(opcode) +
                   ", ordinal = " + std::to_string(ordinal) + ")");
+    }
+    if (same_clk_write(addr)) {
+      return fail("memory chip: read of " + std::to_string(addr) +
+                  " after a same-clk write (clk = " + std::to_string(clock) +
+                  ", pc = " + std::to_string(pc) +
+                  ", opcode = " + std::to_string(opcode) + ")");
     }
     *out = it->second;
     mem_ops.push_back({(uint32_t)clock, 0, addr, it->second});
