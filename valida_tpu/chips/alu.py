@@ -27,7 +27,37 @@ from ..core.word import (
     div_u32, sdiv_u32, shl_u32, shr_u32, sra_u32, to_signed,
 )
 from ..field import babybear as bb
-from .chip import Chip, IndexAllocator, pad_to_power_of_two
+from .chip import (
+    Chip, IndexAllocator, pad_to_power_of_two, assemble_columns, grow,
+    be_byte,
+)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max((n - 1).bit_length(), 0) if n else 1
+
+
+def _word_into(xp, cols, col_ids, values, n2):
+    """Write the 4 big-endian byte columns of u32 `values` (length n)."""
+    for i, col in enumerate(col_ids):
+        cols[col] = grow(xp, be_byte(xp, values, i), n2)
+
+
+def _canon_sub(xp, a, b):
+    """(a - b) mod p for canonical u32 inputs < p."""
+    return bb.sub(a.astype(np.uint32), b.astype(np.uint32))
+
+
+def _canon_sq_mod(x):
+    """x^2 mod p for canonical u32 (exact, via Montgomery)."""
+    m = bb.to_monty(x)
+    return bb.from_monty(bb.mul(m, m))
+
+
+def _canon_inv(x):
+    """x^-1 mod p (0 -> 0) for canonical u32 (batch inversion — inverses
+    are unique, so identical values to bb.inv)."""
+    return bb.from_monty(bb.inv_batch(bb.to_monty(x)))
 
 
 def _read_b_c(m, ops, opcode, left_imm_allowed=False):
@@ -125,22 +155,29 @@ class Add32Chip(Chip):
     def width(self):
         return NUM_ADD_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         _k, a, b, c = _ops_to_arrays(self.operations)
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_ADD_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, ADD_IN1, b)
-        _byte_cols(rows, sl, ADD_IN2, c)
-        _byte_cols(rows, sl, ADD_OUT, a)
-        bb_, cb = _bytes_of(b), _bytes_of(c)
-        carry = np.zeros(n, dtype=np.int64)
+        return (a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, ADD_IN1, b, n2)
+        _word_into(xp, cols, ADD_IN2, c, n2)
+        _word_into(xp, cols, ADD_OUT, a, n2)
+        carry = xp.zeros(n, dtype=np.uint32)
         for k, col in zip([3, 2, 1], ADD_CARRY):
-            carry = (bb_[:, k] + cb[:, k] + carry > 255).astype(np.int64)
-            rows[sl, col] = carry
-        rows[sl, ADD_IS_REAL] = 1
-        return rows
+            carry = (be_byte(xp, b, k) + be_byte(xp, c, k) + carry
+                     > np.uint32(255)).astype(np.uint32)
+            cols[col] = grow(xp, carry, n2)
+        cols[ADD_IS_REAL] = grow(xp, xp.ones(n, dtype=np.uint32), n2)
+        return assemble_columns(xp, NUM_ADD_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_sends(self, machine):
         return [
@@ -208,22 +245,30 @@ class Sub32Chip(Chip):
     def width(self):
         return NUM_SUB_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         _k, a, b, c = _ops_to_arrays(self.operations)
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_SUB_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, SUB_IN1, b)
-        _byte_cols(rows, sl, SUB_IN2, c)
-        _byte_cols(rows, sl, SUB_OUT, a)
-        bb_, cb = _bytes_of(b), _bytes_of(c)
-        borrow = np.zeros(n, dtype=np.int64)
+        return (a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, SUB_IN1, b, n2)
+        _word_into(xp, cols, SUB_IN2, c, n2)
+        _word_into(xp, cols, SUB_OUT, a, n2)
+        borrow = xp.zeros(n, dtype=np.uint32)
         for k, col in zip([3, 2, 1, 0], SUB_BORROW):
-            borrow = (bb_[:, k] - borrow < cb[:, k]).astype(np.int64)
-            rows[sl, col] = borrow
-        rows[sl, SUB_IS_REAL] = 1
-        return rows
+            # b_k - borrow < c_k  <=>  b_k < c_k + borrow (u32-safe form)
+            borrow = (be_byte(xp, b, k)
+                      < be_byte(xp, c, k) + borrow).astype(np.uint32)
+            cols[col] = grow(xp, borrow, n2)
+        cols[SUB_IS_REAL] = grow(xp, xp.ones(n, dtype=np.uint32), n2)
+        return assemble_columns(xp, NUM_SUB_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_sends(self, machine):
         return [
@@ -304,18 +349,12 @@ class Mul32Chip(Chip):
     def width(self):
         return NUM_MUL_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         kinds, a, b, c = _ops_to_arrays(self.operations, ["mul", "mulhs", "mulhu"])
         n = len(a)
-        n2 = max(1 << max((n - 1).bit_length(), 0) if n else 1, MUL_MIN_LENGTH)
-        rows = np.zeros((n2, NUM_MUL_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, MUL_IN1, b)
-        _byte_cols(rows, sl, MUL_IN2, c)
-        _byte_cols(rows, sl, MUL_OUT, a)
-        for ki, col in enumerate([MUL_IS_MUL, MUL_IS_MULHS, MUL_IS_MULHU]):
-            rows[sl, col] = (kinds == ki).astype(np.uint32)
-        # congruence quotients for is_mul rows (pi fits int64: < 2^50)
+        n2 = max(_next_pow2(n), MUL_MIN_LENGTH)
+        # R/S congruence quotients need >u32 intermediates (pi < 2^50):
+        # precomputed host-side and shipped as two u32 columns
         bb_, cb, ab = _bytes_of(b), _bytes_of(c), _bytes_of(a)
         pi = np.zeros(n, dtype=np.int64)
         pi_p = np.zeros(n, dtype=np.int64)
@@ -329,51 +368,79 @@ class Mul32Chip(Chip):
         sigma = sum((np.int64(1) << (8 * k)) * ab[:, 3 - k] for k in range(4))
         sigma_p = sum((np.int64(1) << (8 * k)) * ab[:, 3 - k] for k in range(2))
         is_mul = kinds == 0
-        rows[sl, MUL_R] = np.where(is_mul, ((pi - sigma) // 2) % bb.P, 0).astype(np.uint32)
-        rows[sl, MUL_S] = np.where(is_mul, ((pi_p - sigma_p) // (1 << 16)) % bb.P, 0).astype(np.uint32)
-        rows[:, MUL_COUNTER] = np.arange(1, n2 + 1, dtype=np.uint32)
-        # high-word witnesses for mulhs/mulhu rows
-        is_mulh = kinds >= 1
-        if is_mulh.any():
-            p64 = b.astype(np.uint64) * c.astype(np.uint64)
-            lo = np.where(is_mulh, (p64 & np.uint64(MASK32)).astype(np.int64), 0)
-            hiu = np.where(is_mulh, (p64 >> np.uint64(32)).astype(np.int64), 0)
-            _byte_cols(rows, sl, MUL_LOW, lo.astype(np.uint32))
-            _byte_cols(rows, sl, MUL_HIU, hiu.astype(np.uint32))
-            # 8-limb carry chain of in1*in2 = hiu*2^32 + lo (LSB-first)
-            bl = np.stack([(b.astype(np.int64) >> (8 * i)) & 0xFF for i in range(4)])
-            cl = np.stack([(c.astype(np.int64) >> (8 * i)) & 0xFF for i in range(4)])
-            dl = [(lo >> (8 * k)) & 0xFF for k in range(4)] + \
-                 [(hiu >> (8 * k)) & 0xFF for k in range(4)]
-            t = np.zeros(n, dtype=np.int64)
-            for k in range(7):
-                pk = sum(bl[x] * cl[k - x]
-                         for x in range(max(0, k - 3), min(3, k) + 1))
-                t = (pk + t - dl[k]) >> 8
-                t = np.where(is_mulh, t, 0)
-                rows[sl, MUL_TL[k]] = (t & 0xFF).astype(np.uint32)
-                rows[sl, MUL_TH0[k]] = ((t >> 8) & 1).astype(np.uint32)
-                rows[sl, MUL_TH1[k]] = ((t >> 9) & 1).astype(np.uint32)
-            # mulhs: sign bits + borrow chain out = hiu - s1*c - s2*b
-            is_mulhs = kinds == 1
-            top1 = bl[3]
-            top2 = cl[3]
-            for k in range(8):
-                rows[sl, MUL_SA_BITS[k]] = np.where(
-                    is_mulhs, (top1 >> k) & 1, 0).astype(np.uint32)
-                rows[sl, MUL_SB_BITS[k]] = np.where(
-                    is_mulhs, (top2 >> k) & 1, 0).astype(np.uint32)
-            s1 = np.where(is_mulhs, (top1 >> 7) & 1, 0)
-            s2 = np.where(is_mulhs, (top2 >> 7) & 1, 0)
-            al = np.stack([(a.astype(np.int64) >> (8 * i)) & 0xFF for i in range(4)])
-            u = np.zeros(n, dtype=np.int64)
-            for k in range(4):
-                hk = (hiu >> (8 * k)) & 0xFF
-                d = hk - s1 * cl[k] - s2 * bl[k] - u
-                # out_k = d + 256*u_k with u_k in {0,1,2}
-                u = np.where(is_mulhs, (al[k] - d) >> 8, 0)
-                rows[sl, MUL_U[k]] = u.astype(np.uint32)
-        return rows
+        r_col = np.where(is_mul, ((pi - sigma) // 2) % bb.P, 0).astype(np.uint32)
+        s_col = np.where(
+            is_mul, ((pi_p - sigma_p) // (1 << 16)) % bb.P, 0
+        ).astype(np.uint32)
+        return (kinds, a, b, c, r_col, s_col), (n, n2)
+
+    def build_trace(self, xp, inputs, meta):
+        kinds, a, b, c, r_col, s_col = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, MUL_IN1, b, n2)
+        _word_into(xp, cols, MUL_IN2, c, n2)
+        _word_into(xp, cols, MUL_OUT, a, n2)
+        for ki, col in enumerate([MUL_IS_MUL, MUL_IS_MULHS, MUL_IS_MULHU]):
+            cols[col] = grow(xp, (kinds == np.uint32(ki)).astype(np.uint32), n2)
+        cols[MUL_R] = grow(xp, r_col, n2)
+        cols[MUL_S] = grow(xp, s_col, n2)
+        cols[MUL_COUNTER] = xp.arange(1, n2 + 1, dtype=np.uint32)
+        # high-word witnesses (branchless: fully masked for non-mulh rows,
+        # identical to the masked host loop).  64-bit product from 16-bit
+        # limbs — no u64 on TPU (field/babybear._mul64).
+        is_mulh = kinds >= np.uint32(1)
+        hiu_raw, lo_raw = bb._mul64(b, c)
+        zero = xp.zeros(n, dtype=np.uint32)
+        lo = xp.where(is_mulh, lo_raw, zero)
+        hiu = xp.where(is_mulh, hiu_raw, zero)
+        _word_into(xp, cols, MUL_LOW, lo, n2)
+        _word_into(xp, cols, MUL_HIU, hiu, n2)
+        bl = [(b >> np.uint32(8 * i)) & np.uint32(0xFF) for i in range(4)]
+        cl = [(c >> np.uint32(8 * i)) & np.uint32(0xFF) for i in range(4)]
+        dl = [(lo >> np.uint32(8 * k)) & np.uint32(0xFF) for k in range(4)] + \
+             [(hiu >> np.uint32(8 * k)) & np.uint32(0xFF) for k in range(4)]
+        t = zero
+        for k in range(7):
+            pk = sum(bl[x] * cl[k - x]
+                     for x in range(max(0, k - 3), min(3, k) + 1))
+            # exact identity => pk + t - dl[k] is a nonnegative multiple
+            # of 256 plus the next limb (u32-safe)
+            t = (pk + t - dl[k]) >> np.uint32(8)
+            t = xp.where(is_mulh, t, zero)
+            cols[MUL_TL[k]] = grow(xp, t & np.uint32(0xFF), n2)
+            cols[MUL_TH0[k]] = grow(xp, (t >> np.uint32(8)) & np.uint32(1), n2)
+            cols[MUL_TH1[k]] = grow(xp, (t >> np.uint32(9)) & np.uint32(1), n2)
+        # mulhs: sign bits + borrow chain out = hiu - s1*c - s2*b
+        is_mulhs = kinds == np.uint32(1)
+        top1 = bl[3]
+        top2 = cl[3]
+        for k in range(8):
+            cols[MUL_SA_BITS[k]] = grow(
+                xp, xp.where(is_mulhs, (top1 >> np.uint32(k)) & np.uint32(1),
+                             zero), n2)
+            cols[MUL_SB_BITS[k]] = grow(
+                xp, xp.where(is_mulhs, (top2 >> np.uint32(k)) & np.uint32(1),
+                             zero), n2)
+        s1 = xp.where(is_mulhs, (top1 >> np.uint32(7)) & np.uint32(1), zero)
+        s2 = xp.where(is_mulhs, (top2 >> np.uint32(7)) & np.uint32(1), zero)
+        al = [(a >> np.uint32(8 * i)) & np.uint32(0xFF) for i in range(4)]
+        u = zero
+        for k in range(4):
+            hk = (hiu >> np.uint32(8 * k)) & np.uint32(0xFF)
+            # out_k = d + 256*u_k, u_k in {0,1,2}; wrapping u32 arithmetic
+            # is exact because the true value al[k]-d is in [0, 512]
+            u = xp.where(
+                is_mulhs,
+                (al[k] - (hk - s1 * cl[k] - s2 * bl[k] - u)) >> np.uint32(8),
+                zero,
+            )
+            cols[MUL_U[k]] = grow(xp, u, n2)
+        return assemble_columns(xp, NUM_MUL_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_sends(self, machine):
         # intended design: outputs are byte-range-checked (the reference's
@@ -605,61 +672,73 @@ class Div32Chip(Chip):
     def width(self):
         return NUM_DIV_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         kinds, a, b, c = _ops_to_arrays(self.operations, ["div", "sdiv"])
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_DIV_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, DIV_IN1, b)
-        _byte_cols(rows, sl, DIV_IN2, c)
-        _byte_cols(rows, sl, DIV_OUT, a)
-        is_div = kinds == 0
-        is_sdiv = kinds == 1
-        rows[sl, DIV_IS_DIV] = is_div.astype(np.uint32)
-        rows[sl, DIV_IS_SDIV] = is_sdiv.astype(np.uint32)
-        a64 = a.astype(np.int64)
-        b64 = b.astype(np.int64)
-        c64 = c.astype(np.int64)
+        return (kinds, a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        kinds, a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, DIV_IN1, b, n2)
+        _word_into(xp, cols, DIV_IN2, c, n2)
+        _word_into(xp, cols, DIV_OUT, a, n2)
+        is_div = kinds == np.uint32(0)
+        is_sdiv = kinds == np.uint32(1)
+        cols[DIV_IS_DIV] = grow(xp, is_div.astype(np.uint32), n2)
+        cols[DIV_IS_SDIV] = grow(xp, is_sdiv.astype(np.uint32), n2)
+        zero = xp.zeros(n, dtype=np.uint32)
         # signed rows: absolute values, quotient magnitude, sign plumbing
-        sb = b64 >> 31
-        sc = c64 >> 31
-        nb64 = np.where(sb == 1, (1 << 32) - b64, b64)
-        nc64 = np.where(sc == 1, (1 << 32) - c64, c64)
-        na64 = np.where(is_sdiv & (nc64 != 0), nb64 // np.maximum(nc64, 1), 0)
-        sdiff = (sb ^ sc).astype(np.uint32)
-        _byte_cols(rows, sl, SDIV_NB, np.where(is_sdiv, nb64, 0).astype(np.uint32))
-        _byte_cols(rows, sl, SDIV_NC, np.where(is_sdiv, nc64, 0).astype(np.uint32))
-        _byte_cols(rows, sl, SDIV_NA, na64.astype(np.uint32))
-        top1 = (b64 >> 24) & 0xFF
-        top2 = (c64 >> 24) & 0xFF
+        # (wrapping 0 - x == 2^32 - x; sign=1 implies x != 0)
+        sb = b >> np.uint32(31)
+        sc = c >> np.uint32(31)
+        nb = xp.where(sb == 1, zero - b, b)
+        nc = xp.where(sc == 1, zero - c, c)
+        na = xp.where(is_sdiv & (nc != 0), nb // xp.maximum(nc, np.uint32(1)),
+                      zero)
+        sdiff = sb ^ sc
+        _word_into(xp, cols, SDIV_NB, xp.where(is_sdiv, nb, zero), n2)
+        _word_into(xp, cols, SDIV_NC, xp.where(is_sdiv, nc, zero), n2)
+        _word_into(xp, cols, SDIV_NA, na, n2)
+        top1 = (b >> np.uint32(24)) & np.uint32(0xFF)
+        top2 = (c >> np.uint32(24)) & np.uint32(0xFF)
         for k in range(8):
-            rows[sl, SDIV_B1_BITS[k]] = np.where(is_sdiv, (top1 >> k) & 1, 0).astype(np.uint32)
-            rows[sl, SDIV_B2_BITS[k]] = np.where(is_sdiv, (top2 >> k) & 1, 0).astype(np.uint32)
-        rows[sl, SDIV_SDIFF] = np.where(is_sdiv, sdiff, 0)
-        rows[sl, SDIV_NEG_B] = np.where(is_sdiv, sb, 0).astype(np.uint32)
-        rows[sl, SDIV_NEG_C] = np.where(is_sdiv, sc, 0).astype(np.uint32)
-        rows[sl, SDIV_NEG_A] = np.where(is_sdiv, sdiff, 0).astype(np.uint32)
+            cols[SDIV_B1_BITS[k]] = grow(
+                xp, xp.where(is_sdiv, (top1 >> np.uint32(k)) & np.uint32(1),
+                             zero), n2)
+            cols[SDIV_B2_BITS[k]] = grow(
+                xp, xp.where(is_sdiv, (top2 >> np.uint32(k)) & np.uint32(1),
+                             zero), n2)
+        cols[SDIV_SDIFF] = grow(xp, xp.where(is_sdiv, sdiff, zero), n2)
+        cols[SDIV_NEG_B] = grow(xp, xp.where(is_sdiv, sb, zero), n2)
+        cols[SDIV_NEG_C] = grow(xp, xp.where(is_sdiv, sc, zero), n2)
+        cols[SDIV_NEG_A] = grow(xp, xp.where(is_sdiv, sdiff, zero), n2)
         # shared remainder + carry chain: (out,in1,in2) for div rows,
-        # (|out|,|in1|,|in2|) for sdiv rows
-        ca = np.where(is_div, a64, na64)
-        cb_ = np.where(is_div, b64, nb64)
-        cc = np.where(is_div, c64, nc64)
-        r64 = cb_ - ca * cc
+        # (|out|,|in1|,|in2|) for sdiv rows.  b = a*c + r holds exactly
+        # over the integers for every real row, so the wrapping u32
+        # arithmetic below is exact and every carry is nonnegative.
+        ca = xp.where(is_div, a, na)
+        cb_ = xp.where(is_div, b, nb)
+        cc = xp.where(is_div, c, nc)
         real = is_div | is_sdiv
-        r64 = np.where(real, r64, 0)
-        _byte_cols(rows, sl, DIV_R, r64.astype(np.uint32))
-        t0, t1, t2 = _div_carries(ca, cb_, cc, r64)
-        t0 = np.where(real, t0, 0)
-        t1 = np.where(real, t1, 0)
-        t2 = np.where(real, t2, 0)
-        rows[sl, DIV_T0] = t0.astype(np.uint32)
-        rows[sl, DIV_T1L] = (t1 & 0xFF).astype(np.uint32)
-        rows[sl, DIV_T1H] = (t1 >> 8).astype(np.uint32)
-        rows[sl, DIV_T2L] = (t2 & 0xFF).astype(np.uint32)
-        rows[sl, DIV_T2H0] = ((t2 >> 8) & 1).astype(np.uint32)
-        rows[sl, DIV_T2H1] = ((t2 >> 9) & 1).astype(np.uint32)
-        return rows
+        r = xp.where(real, cb_ - ca * cc, zero)
+        _word_into(xp, cols, DIV_R, r, n2)
+        t0, t1, t2 = _div_carries(ca, cb_, cc, r)
+        t0 = xp.where(real, t0, zero)
+        t1 = xp.where(real, t1, zero)
+        t2 = xp.where(real, t2, zero)
+        cols[DIV_T0] = grow(xp, t0, n2)
+        cols[DIV_T1L] = grow(xp, t1 & np.uint32(0xFF), n2)
+        cols[DIV_T1H] = grow(xp, t1 >> np.uint32(8), n2)
+        cols[DIV_T2L] = grow(xp, t2 & np.uint32(0xFF), n2)
+        cols[DIV_T2H0] = grow(xp, (t2 >> np.uint32(8)) & np.uint32(1), n2)
+        cols[DIV_T2H1] = grow(xp, (t2 >> np.uint32(9)) & np.uint32(1), n2)
+        return assemble_columns(xp, NUM_DIV_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_sends(self, machine):
         # intended design: see Mul32Chip.global_sends
@@ -883,41 +962,56 @@ class Lt32Chip(Chip):
     def width(self):
         return NUM_LT_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         kinds, a, b, c = _ops_to_arrays(self.operations, ["lt", "lte", "slt", "sle"])
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_LT_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, LT_IN1, b)
-        _byte_cols(rows, sl, LT_IN2, c)
-        rows[sl, LT_OUT] = a & np.uint32(0xFF)
+        return (kinds, a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        kinds, a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, LT_IN1, b, n2)
+        _word_into(xp, cols, LT_IN2, c, n2)
+        cols[LT_OUT] = grow(xp, a & np.uint32(0xFF), n2)
         for ki, col in enumerate([LT_IS_LT, LT_IS_LTE, LT_IS_SLT, LT_IS_SLE]):
-            rows[sl, col] = (kinds == ki).astype(np.uint32)
-        bb_, cb = _bytes_of(b), _bytes_of(c)
-        diffs = bb_ != cb  # [n, 4]
+            cols[col] = grow(xp, (kinds == np.uint32(ki)).astype(np.uint32),
+                             n2)
+        bmat = xp.stack([be_byte(xp, b, i) for i in range(4)], axis=1)
+        cmat = xp.stack([be_byte(xp, c, i) for i in range(4)], axis=1)
+        diffs = bmat != cmat  # [n, 4]
         has_diff = diffs.any(axis=1)
-        nb = np.argmax(diffs, axis=1)  # first differing byte (BE order)
-        b_n = np.take_along_axis(bb_, nb[:, None], axis=1)[:, 0]
-        c_n = np.take_along_axis(cb, nb[:, None], axis=1)[:, 0]
-        z = 256 + b_n - c_n
+        nb = xp.argmax(diffs, axis=1)  # first differing byte (BE order)
+        b_n = xp.take_along_axis(bmat, nb[:, None], axis=1)[:, 0]
+        c_n = xp.take_along_axis(cmat, nb[:, None], axis=1)[:, 0]
+        z = np.uint32(256) + b_n - c_n  # in [1, 511]: u32-safe this order
+        zero = xp.zeros(n, dtype=np.uint32)
         for k in range(9):
-            rows[sl, LT_BITS[k]] = np.where(has_diff, (z >> k) & 1, 0).astype(np.uint32)
+            cols[LT_BITS[k]] = grow(
+                xp, xp.where(has_diff, (z >> np.uint32(k)) & np.uint32(1),
+                             zero), n2)
         for fidx in range(4):
-            rows[sl, LT_BYTE_FLAG[fidx]] = (has_diff & (nb == fidx)).astype(np.uint32)
-        dinv = np.asarray(
-            bb.from_monty(bb.inv(bb.to_monty(((b_n - c_n) % bb.P).astype(np.uint32))))
-        )
-        rows[sl, LT_DIFF_INV] = np.where(has_diff, dinv, 0).astype(np.uint32)
+            cols[LT_BYTE_FLAG[fidx]] = grow(
+                xp, (has_diff & (nb == fidx)).astype(np.uint32), n2)
+        dinv = _canon_inv(_canon_sub(xp, b_n, c_n))
+        cols[LT_DIFF_INV] = grow(xp, xp.where(has_diff, dinv, zero), n2)
         for k in range(8):
-            rows[sl, LT_TOP_BITS_1[k]] = ((bb_[:, 0] >> k) & 1).astype(np.uint32)
-            rows[sl, LT_TOP_BITS_2[k]] = ((cb[:, 0] >> k) & 1).astype(np.uint32)
-        signed = kinds >= 2
-        rows[sl, LT_DIFFERENT_SIGNS] = (
-            signed & ((bb_[:, 0] >> 7) != (cb[:, 0] >> 7))
-        ).astype(np.uint32)
-        rows[sl, LT_MULT] = 1
-        return rows
+            cols[LT_TOP_BITS_1[k]] = grow(
+                xp, (bmat[:, 0] >> np.uint32(k)) & np.uint32(1), n2)
+            cols[LT_TOP_BITS_2[k]] = grow(
+                xp, (cmat[:, 0] >> np.uint32(k)) & np.uint32(1), n2)
+        signed = kinds >= np.uint32(2)
+        cols[LT_DIFFERENT_SIGNS] = grow(
+            xp,
+            (signed & ((bmat[:, 0] >> np.uint32(7))
+                       != (cmat[:, 0] >> np.uint32(7)))).astype(np.uint32),
+            n2)
+        cols[LT_MULT] = grow(xp, xp.ones(n, dtype=np.uint32), n2)
+        return assemble_columns(xp, NUM_LT_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -1061,24 +1155,37 @@ class Com32Chip(Chip):
     def width(self):
         return NUM_COM_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         kinds, a, b, c = _ops_to_arrays(self.operations, ["ne", "eq"])
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_COM_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, COM_IN1, b)
-        _byte_cols(rows, sl, COM_IN2, c)
-        bb_, cb = _bytes_of(b), _bytes_of(c)
-        diff = (((bb_ - cb) % bb.P) ** 2 % bb.P).sum(axis=1) % bb.P
-        rows[sl, COM_DIFF] = diff.astype(np.uint32)
-        dinv = np.asarray(bb.from_monty(bb.inv(bb.to_monty(diff.astype(np.uint32)))))
-        rows[sl, COM_DIFF_INV] = dinv
-        rows[sl, COM_NOT_EQUAL] = (diff != 0).astype(np.uint32)
-        rows[sl, COM_OUT] = a & np.uint32(0xFF)
-        rows[sl, COM_IS_NE] = (kinds == 0).astype(np.uint32)
-        rows[sl, COM_IS_EQ] = (kinds == 1).astype(np.uint32)
-        return rows
+        return (kinds, a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        kinds, a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, COM_IN1, b, n2)
+        _word_into(xp, cols, COM_IN2, c, n2)
+        # sum of squared byte diffs mod p, exact via modular primitives
+        diff = None
+        for i in range(4):
+            sq = _canon_sq_mod(
+                _canon_sub(xp, be_byte(xp, b, i), be_byte(xp, c, i))
+            )
+            diff = sq if diff is None else bb.add(diff, sq)
+        cols[COM_DIFF] = grow(xp, diff, n2)
+        cols[COM_DIFF_INV] = grow(xp, _canon_inv(diff), n2)
+        cols[COM_NOT_EQUAL] = grow(xp, (diff != 0).astype(np.uint32), n2)
+        cols[COM_OUT] = grow(xp, a & np.uint32(0xFF), n2)
+        cols[COM_IS_NE] = grow(xp, (kinds == np.uint32(0)).astype(np.uint32),
+                               n2)
+        cols[COM_IS_EQ] = grow(xp, (kinds == np.uint32(1)).astype(np.uint32),
+                               n2)
+        return assemble_columns(xp, NUM_COM_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -1152,23 +1259,34 @@ class Bitwise32Chip(Chip):
     def width(self):
         return NUM_BITWISE_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         kinds, a, b, c = _ops_to_arrays(self.operations, ["and", "or", "xor"])
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_BITWISE_COLS), dtype=np.uint32)
-        sl = slice(0, n)
-        _byte_cols(rows, sl, BW_IN1, b)
-        _byte_cols(rows, sl, BW_IN2, c)
-        _byte_cols(rows, sl, BW_OUT, a)
-        bb_, cb = _bytes_of(b), _bytes_of(c)
+        return (kinds, a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        kinds, a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, BW_IN1, b, n2)
+        _word_into(xp, cols, BW_IN2, c, n2)
+        _word_into(xp, cols, BW_OUT, a, n2)
         for byte in range(4):
+            b_b = be_byte(xp, b, byte)
+            c_b = be_byte(xp, c, byte)
             for k in range(8):
-                rows[sl, BW_BITS_1[byte][k]] = ((bb_[:, byte] >> k) & 1).astype(np.uint32)
-                rows[sl, BW_BITS_2[byte][k]] = ((cb[:, byte] >> k) & 1).astype(np.uint32)
+                cols[BW_BITS_1[byte][k]] = grow(
+                    xp, (b_b >> np.uint32(k)) & np.uint32(1), n2)
+                cols[BW_BITS_2[byte][k]] = grow(
+                    xp, (c_b >> np.uint32(k)) & np.uint32(1), n2)
         for ki, col in enumerate([BW_IS_AND, BW_IS_OR, BW_IS_XOR]):
-            rows[sl, col] = (kinds == ki).astype(np.uint32)
-        return rows
+            cols[col] = grow(xp, (kinds == np.uint32(ki)).astype(np.uint32),
+                             n2)
+        return assemble_columns(xp, NUM_BITWISE_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_receives(self, machine):
         opcode = VPCol(
@@ -1255,31 +1373,46 @@ class Shift32Chip(Chip):
     def width(self):
         return NUM_SHIFT_COLS
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         kinds, a, b, c = _ops_to_arrays(self.operations, ["shl", "shr", "sra"])
         n = len(a)
-        n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_SHIFT_COLS), dtype=np.uint32)
-        # padding rows witness shift-by-zero: temp = 1, 2^0 = 1 at the LSB
-        rows[n:, SH_TEMP_1] = 1
-        rows[n:, SH_POW[3]] = 1
-        sl = slice(0, n)
-        _byte_cols(rows, sl, SH_IN1, b)
-        _byte_cols(rows, sl, SH_IN2, c)
-        _byte_cols(rows, sl, SH_OUT, a)
+        return (kinds, a, b, c), (n, _next_pow2(n))
+
+    def build_trace(self, xp, inputs, meta):
+        kinds, a, b, c = (x.astype(np.uint32) for x in inputs)
+        n, n2 = meta
+        cols = {}
+        _word_into(xp, cols, SH_IN1, b, n2)
+        _word_into(xp, cols, SH_IN2, c, n2)
+        _word_into(xp, cols, SH_OUT, a, n2)
         low = c & np.uint32(0xFF)
         for k in range(8):
-            rows[sl, SH_BITS_2[k]] = (low >> np.uint32(k)) & 1
-        rows[sl, SH_TEMP_1] = np.uint32(1) << (low & np.uint32(7))
+            cols[SH_BITS_2[k]] = grow(xp, (low >> np.uint32(k)) & np.uint32(1),
+                                      n2)
+        # padding rows witness shift-by-zero: temp = 1, 2^0 = 1 at the LSB
+        cols[SH_TEMP_1] = grow(xp, np.uint32(1) << (low & np.uint32(7)), n2,
+                               pad=1)
         pow2 = np.uint32(1) << (c & np.uint32(31))
-        _byte_cols(rows, sl, SH_POW, pow2)
+        for i, col in enumerate(SH_POW):
+            cols[col] = grow(xp, be_byte(xp, pow2, i), n2,
+                             pad=1 if i == 3 else 0)
         for ki, col in enumerate([SH_IS_SHL, SH_IS_SHR, SH_IS_SRA]):
-            rows[sl, col] = (kinds == ki).astype(np.uint32)
+            cols[col] = grow(xp, (kinds == np.uint32(ki)).astype(np.uint32),
+                             n2)
         top = b >> np.uint32(24)
         for k in range(8):
-            rows[sl, SH_TOP_BITS_1[k]] = (top >> np.uint32(k)) & 1
-        rows[sl, SH_SRA_NEG] = ((kinds == 2) & (b >> 31 == 1)).astype(np.uint32)
-        return rows
+            cols[SH_TOP_BITS_1[k]] = grow(
+                xp, (top >> np.uint32(k)) & np.uint32(1), n2)
+        cols[SH_SRA_NEG] = grow(
+            xp,
+            ((kinds == np.uint32(2))
+             & ((b >> np.uint32(31)) == np.uint32(1))).astype(np.uint32),
+            n2)
+        return assemble_columns(xp, NUM_SHIFT_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     def global_sends(self, machine):
         # Delegation (reference shift/stark.rs:55-69 re-sends SHL->MUL32,

@@ -136,52 +136,87 @@ class ByteChip(Chip):
         return [(kind, clk, fp, opnds, mem_at(clk))
                 for kind, clk, fp, opnds in ops]
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
+        """Parse the structured byte-op log into compact u32 arrays (the
+        per-op python walk stays host-side; everything vectorizable moves
+        to build_trace)."""
         ops = self._byte_ops(machine)
         n = len(ops)
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_BYTE_COLS), dtype=np.uint32)
+        arr = np.zeros((9, n), dtype=np.uint32)
+        kindc, clk_a, srcp, srca, srcw, dstp, dsta, oldw, outw = arr
         for i, (kind, clk, fp, opnds, mem_ops) in enumerate(ops):
             reads = [(a, v) for w, a, v in mem_ops if not w]
             writes = [(a, v) for w, a, v in mem_ops if w]
-            row = rows[i]
-            row[CLK] = clk % bb.P
+            clk_a[i] = clk % bb.P
             if kind == "st":
-                row[IS_ST] = 1
+                kindc[i] = 2
                 src_ptr = (fp + opnds[2]) & 0xFFFFFFFF
                 dst_ptr = reads[0][1]
                 src_al, src_w = reads[1]
                 dst_al, old_w = reads[2]
             else:
-                row[IS_U8 if kind == "u8" else IS_S8] = 1
+                kindc[i] = 0 if kind == "u8" else 1
                 src_ptr = reads[0][1]
                 src_al, src_w = reads[1]
                 dst_ptr = (fp + opnds[0]) & 0xFFFFFFFF
                 dst_al, old_w = writes[0][0], 0
-            out_w = writes[0][1]
-            row[SRC_PTR] = src_ptr % bb.P
-            row[SRC_AL] = src_al
-            row[B0], row[B1] = src_ptr & 1, (src_ptr >> 1) & 1
-            row[DST_PTR] = dst_ptr % bb.P
-            row[DST_AL] = dst_al
-            row[C0], row[C1] = dst_ptr & 1, (dst_ptr >> 1) & 1
-            for al, q_cols in ((src_al, QS), (dst_al, QD)):
+            for al in (src_al, dst_al):
                 assert al >> ADDR_SPACE_BITS == 0 and al % 4 == 0
-                q = al >> 2
-                for k in range(4):
-                    row[q_cols[k]] = (q >> (8 * k)) & 0xFF
-            for w, cols in ((src_w, SRC), (old_w, OLD), (out_w, OUT)):
-                for k in range(4):
-                    row[cols[k]] = (w >> (8 * (3 - k))) & 0xFF
-            sel = (src_w >> (8 * (src_ptr & 3))) & 0xFF
-            row[SEL] = sel
-            row[SIGN] = sel >> 7
-            # merged = update_byte(old, sel, 3 - (dst_ptr & 3)): byte-swap
-            # the old word, then place sel at that BE slot (core.rs:48-57)
-            loc = 3 - (dst_ptr & 3)
-            for j in range(4):
-                row[MERGED[j]] = sel if j == loc else row[OLD[3 - j]]
-        return rows
+            srcp[i], srca[i], srcw[i] = src_ptr, src_al, src_w
+            dstp[i], dsta[i], oldw[i] = dst_ptr, dst_al, old_w
+            outw[i] = writes[0][1]
+        return tuple(arr), (n, n2)
+
+    def build_trace(self, xp, inputs, meta):
+        from .chip import assemble_columns, grow, be_byte
+
+        kindc, clk_a, srcp, srca, srcw, dstp, dsta, oldw, outw = (
+            x.astype(np.uint32) for x in inputs
+        )
+        n, n2 = meta
+        cols = {}
+        for ki, col in enumerate([IS_U8, IS_S8, IS_ST]):
+            cols[col] = grow(xp, (kindc == np.uint32(ki)).astype(np.uint32),
+                             n2)
+        cols[CLK] = grow(xp, clk_a, n2)
+        p32 = np.uint32(bb.P)
+
+        def mod_p(x):  # u32 -> x mod p (2^32 < 3p: two subtracts suffice)
+            x = xp.where(x >= p32, x - p32, x)
+            return xp.where(x >= p32, x - p32, x)
+
+        cols[SRC_PTR] = grow(xp, mod_p(srcp), n2)
+        cols[SRC_AL] = grow(xp, srca, n2)
+        cols[B0] = grow(xp, srcp & np.uint32(1), n2)
+        cols[B1] = grow(xp, (srcp >> np.uint32(1)) & np.uint32(1), n2)
+        cols[DST_PTR] = grow(xp, mod_p(dstp), n2)
+        cols[DST_AL] = grow(xp, dsta, n2)
+        cols[C0] = grow(xp, dstp & np.uint32(1), n2)
+        cols[C1] = grow(xp, (dstp >> np.uint32(1)) & np.uint32(1), n2)
+        for al, q_cols in ((srca, QS), (dsta, QD)):
+            q = al >> np.uint32(2)
+            for k in range(4):
+                cols[q_cols[k]] = grow(
+                    xp, (q >> np.uint32(8 * k)) & np.uint32(0xFF), n2)
+        for w, wcols in ((srcw, SRC), (oldw, OLD), (outw, OUT)):
+            for k in range(4):
+                cols[wcols[k]] = grow(xp, be_byte(xp, w, k), n2)
+        sel = (srcw >> (np.uint32(8) * (srcp & np.uint32(3)))) & np.uint32(0xFF)
+        cols[SEL] = grow(xp, sel, n2)
+        cols[SIGN] = grow(xp, sel >> np.uint32(7), n2)
+        # merged = update_byte(old, sel, 3 - (dst_ptr & 3)): byte-swap the
+        # old word, then place sel at that BE slot (core.rs:48-57)
+        loc = np.uint32(3) - (dstp & np.uint32(3))
+        for j in range(4):
+            cols[MERGED[j]] = grow(
+                xp, xp.where(loc == np.uint32(j), sel,
+                             be_byte(xp, oldw, 3 - j)), n2)
+        return assemble_columns(xp, NUM_BYTE_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     # -- interactions ----------------------------------------------------------
 

@@ -102,16 +102,15 @@ class CpuChip(Chip):
     def width(self):
         return NUM_CPU_COLS
 
-    def generate_trace(self, machine):
-        """Vectorized (numpy) trace construction from the op log —
-        data-oriented per SURVEY.md §7; semantics identical to the
-        reference's row loop (cpu/src/lib.rs:80-354)."""
+    def device_trace_inputs(self, machine):
+        """Compact op-log inputs for build_trace.  The per-clk memory
+        channel ROUTING (which op lands on which of the 3 CPU channels)
+        is resolved host-side into small index arrays — cheap integer
+        work over data the host already holds — so the device build is
+        pure gathers/scatters with static shapes."""
         n = (len(self.ops_arrays[0]) if self.ops_arrays is not None
              else len(self.operations))
         n2 = 1 << max((n - 1).bit_length(), 0) if n else 1
-        rows = np.zeros((n2, NUM_CPU_COLS), dtype=np.uint32)
-        if n == 0:
-            return rows
 
         kind_code = {
             "load": 0, "load_u8": 1, "load_s8": 2, "store": 3, "store_u8": 4,
@@ -119,27 +118,23 @@ class CpuChip(Chip):
             "stop": 11, "loadfp": 12, "bus": 13, "bus_left_imm": 14,
             "bus_with_memory": 15,
         }
-        flag_col = np.array(
-            [IS_LOAD, IS_LOAD_U8, IS_LOAD_S8, IS_STORE, IS_STORE_U8, IS_JAL,
-             IS_JALV, IS_BEQ, IS_BNE, IS_IMM32, IS_ADVICE, IS_STOP, IS_LOADFP,
-             IS_BUS_OP, IS_BUS_OP, IS_BUS_OP], dtype=np.int64)
-
         if self.ops_arrays is not None:
             kinds_a, has_imm_a, imm, opcode, operands, pre_pc, pre_fp = (
                 self.ops_arrays
             )
-            kinds = kinds_a.astype(np.int64)
-            has_imm = has_imm_a.astype(bool)
+            kinds = kinds_a.astype(np.uint32)
+            has_imm = has_imm_a.astype(np.uint32)
             operands = operands.astype(np.int64)
-            regs = np.stack([pre_pc, pre_fp], axis=1).astype(np.uint64)
+            pre_pc = pre_pc.astype(np.uint32)
+            pre_fp = pre_fp.astype(np.uint32)
         else:
             kinds = np.fromiter(
-                (kind_code[k] for k, _ in self.operations), dtype=np.int64,
+                (kind_code[k] for k, _ in self.operations), dtype=np.uint32,
                 count=n,
             )
             has_imm = np.fromiter(
-                (im is not None for _, im in self.operations), dtype=bool,
-                count=n,
+                (im is not None for _, im in self.operations),
+                dtype=np.uint32, count=n,
             )
             imm = np.fromiter(
                 ((im if im is not None else 0) for _, im in self.operations),
@@ -151,26 +146,12 @@ class CpuChip(Chip):
             )
             operands = np.array(
                 [iw.operands.ops for iw in self.instructions], dtype=np.int64
-            )
-            regs = np.array(self.registers[:n], dtype=np.uint64)
-
-        clk_idx = np.arange(n)
-        rows[:n, CLK] = clk_idx.astype(np.uint32)
-        rows[:n, PC] = (regs[:, 0] % bb.P).astype(np.uint32)
-        rows[:n, FP] = (regs[:, 1] % bb.P).astype(np.uint32)
-        rows[:n, OPCODE] = opcode
-        for i in range(5):
-            rows[:n, OPERANDS[i]] = (operands[:, i] % bb.P).astype(np.uint32)
-        rows[clk_idx, flag_col[kinds]] = 1
-        with_mem = kinds == 15
-        rows[:n, IS_BUS_OP_WITH_MEM] = with_mem.astype(np.uint32)
-        rows[:n, CLK_OR_ZERO] = np.where(with_mem, clk_idx, 0).astype(np.uint32)
-        left_imm = (kinds == 14) & has_imm
-        right_imm = has_imm & ~left_imm
-        rows[:n, IS_LEFT_IMM_OP] = left_imm.astype(np.uint32)
-        rows[:n, IS_IMM_OP] = right_imm.astype(np.uint32)
-        rows[:, MC_IS_READ[0]] = 1
-        rows[:, MC_IS_READ[1]] = 1
+            ).reshape(n, 5)
+            regs = np.array(self.registers[:n], dtype=np.uint64).reshape(n, 2)
+            pre_pc = (regs[:, 0] & 0xFFFFFFFF).astype(np.uint32)
+            pre_fp = (regs[:, 1] & 0xFFFFFFFF).astype(np.uint32)
+        operands_u = (operands & 0xFFFFFFFF).astype(np.uint32).reshape(n, 5)
+        left_imm = (kinds == 14) & (has_imm != 0)
 
         # -- memory channel routing (cpu/src/lib.rs:244-283) ---------------
         mem = machine.mem()
@@ -179,7 +160,6 @@ class CpuChip(Chip):
             mclk = mclk.astype(np.int64)
             mwrite = mwrite.astype(bool)
             maddr = maddr.astype(np.int64)
-            m = len(mclk)
         else:
             mclk_l, mw_l, maddr_l, mval_l = [], [], [], []
             for ck in sorted(mem.operations):
@@ -188,70 +168,153 @@ class CpuChip(Chip):
                     mw_l.append(op_kind == "w")
                     maddr_l.append(addr)
                     mval_l.append(value)
-            m = len(mclk_l)
             mclk = np.array(mclk_l, dtype=np.int64)
             mwrite = np.array(mw_l, dtype=bool)
             maddr = np.array(maddr_l, dtype=np.int64)
             mvalue = np.array(mval_l, dtype=np.uint32)
+        m = len(mclk)
+        channels = []
         if m:
-            # rank of each read within its clk group (groups are contiguous)
+            # rank of each read within its clk group (groups contiguous);
+            # reads: rank 0 -> channel 0 (1 for left-imm ops), rank 1 -> 1;
+            # rank-2 reads (the STOREU8 merge) belong to the byte chip's
+            # memory-bus send, not a CPU channel
             group_start = np.searchsorted(mclk, mclk, side="left")
             read_mask = ~mwrite
             cum_excl = np.cumsum(read_mask) - read_mask
             rank = cum_excl - cum_excl[group_start]
             is_left = left_imm[mclk]
-            # reads: rank 0 -> channel 0 (1 for left-imm ops), rank 1 -> 1;
-            # rank-2 reads (the STOREU8 merge) belong to the byte chip's
-            # memory-bus send, not a CPU channel
             ch = np.where(
                 mwrite, 2,
                 np.where((rank == 0) & ~is_left, 0, np.where(rank <= 1, 1, -1))
             )
             for ch_id in range(3):
                 sel = ch == ch_id
-                tgt = mclk[sel]
-                rows[tgt, MC_USED[ch_id]] = 1
-                rows[tgt, MC_ADDR[ch_id]] = (maddr[sel] % bb.P).astype(np.uint32)
-                vals = mvalue[sel]
-                for i2 in range(4):
-                    rows[tgt, MC_VALUE[ch_id][i2]] = (
-                        (vals >> np.uint32(8 * (3 - i2))) & np.uint32(0xFF)
-                    )
+                channels.append((
+                    mclk[sel].astype(np.uint32),
+                    (maddr[sel] & 0xFFFFFFFF).astype(np.uint32),
+                    mvalue[sel].astype(np.uint32),
+                ))
+        else:
+            z = np.zeros(0, dtype=np.uint32)
+            channels = [(z, z, z)] * 3
+        inputs = (kinds, has_imm.astype(np.uint32), imm.astype(np.uint32),
+                  opcode.astype(np.uint32), operands_u, pre_pc, pre_fp)
+        for tgt, addr, val in channels:
+            inputs += (tgt, addr, val)
+        return inputs, (n, n2)
+
+    def build_trace(self, xp, inputs, meta):
+        from .chip import assemble_columns, grow, be_byte
+
+        (kinds, has_imm, imm, opcode, operands_u, pre_pc, pre_fp,
+         t0, a0, v0, t1, a1, v1_, t2, a2, v2_) = inputs
+        n, n2 = meta
+        if n == 0:
+            return xp.zeros((n2, NUM_CPU_COLS), dtype=np.uint32)
+        p32 = np.uint32(bb.P)
+        r1 = np.uint32(bb.R1)  # 2^32 mod p
+
+        def mod_p(x):
+            x = xp.where(x >= p32, x - p32, x)
+            return xp.where(x >= p32, x - p32, x)
+
+        def signed_mod_p(x_u):
+            # x_u holds a two's-complement i32: x mod p =
+            # mod_p(x_u) - [x<0]*(2^32 mod p)
+            m_ = mod_p(x_u)
+            return xp.where(x_u >> np.uint32(31) == 1, bb.sub(m_, r1), m_)
+
+        def scatter(base, idx, vals):
+            if xp is np:
+                out = base.copy()
+                out[idx] = vals
+                return out
+            return base.at[idx].set(vals)
+
+        cols = {}
+        # CLK runs over the FULL height (padding rows continue the count)
+        cols[CLK] = mod_p(xp.arange(n2, dtype=np.uint32))
+        pc_col = mod_p(pre_pc)
+        fp_col = mod_p(pre_fp)
+        # STOP padding rows repeat the last real pc/fp
+        cols[PC] = xp.concatenate(
+            [pc_col, xp.full((n2 - n,), pc_col[n - 1], dtype=np.uint32)]
+        ) if n2 > n else pc_col
+        cols[FP] = xp.concatenate(
+            [fp_col, xp.full((n2 - n,), fp_col[n - 1], dtype=np.uint32)]
+        ) if n2 > n else fp_col
+        cols[OPCODE] = grow(xp, opcode, n2, pad=OC.STOP)
+        for i in range(5):
+            cols[OPERANDS[i]] = grow(xp, signed_mod_p(operands_u[:, i]), n2)
+        flag_kinds = {
+            IS_LOAD: (0,), IS_LOAD_U8: (1,), IS_LOAD_S8: (2,), IS_STORE: (3,),
+            IS_STORE_U8: (4,), IS_JAL: (5,), IS_JALV: (6,), IS_BEQ: (7,),
+            IS_BNE: (8,), IS_IMM32: (9,), IS_ADVICE: (10,), IS_LOADFP: (12,),
+            IS_BUS_OP: (13, 14, 15),
+        }
+        for col, ks in flag_kinds.items():
+            mask = kinds == np.uint32(ks[0])
+            for k in ks[1:]:
+                mask = mask | (kinds == np.uint32(k))
+            cols[col] = grow(xp, mask.astype(np.uint32), n2)
+        cols[IS_STOP] = grow(xp, (kinds == np.uint32(11)).astype(np.uint32),
+                             n2, pad=1)
+        with_mem = kinds == np.uint32(15)
+        cols[IS_BUS_OP_WITH_MEM] = grow(xp, with_mem.astype(np.uint32), n2)
+        cols[CLK_OR_ZERO] = grow(
+            xp,
+            xp.where(with_mem, xp.arange(n, dtype=np.uint32),
+                     xp.zeros(n, dtype=np.uint32)),
+            n2)
+        left_imm = (kinds == np.uint32(14)) & (has_imm != 0)
+        right_imm = (has_imm != 0) & ~left_imm
+        cols[IS_LEFT_IMM_OP] = grow(xp, left_imm.astype(np.uint32), n2)
+        cols[IS_IMM_OP] = grow(xp, right_imm.astype(np.uint32), n2)
+        cols[MC_IS_READ[0]] = xp.ones(n2, dtype=np.uint32)
+        cols[MC_IS_READ[1]] = xp.ones(n2, dtype=np.uint32)
+
+        zcol = xp.zeros(n2, dtype=np.uint32)
+        for ch_id, (tgt, addr, val) in enumerate(
+            ((t0, a0, v0), (t1, a1, v1_), (t2, a2, v2_))
+        ):
+            cols[MC_USED[ch_id]] = scatter(
+                zcol, tgt, xp.ones(tgt.shape, dtype=np.uint32))
+            cols[MC_ADDR[ch_id]] = scatter(zcol, tgt, mod_p(addr))
+            for i2 in range(4):
+                cols[MC_VALUE[ch_id][i2]] = scatter(
+                    zcol, tgt, be_byte(xp, val, i2))
 
         # -- immediate overrides (cpu/src/lib.rs:359-381) ------------------
         for sel, ch_id, op_col in ((left_imm, 0, OPERANDS[1]),
                                    (right_imm, 1, OPERANDS[2])):
-            tgt = clk_idx[sel]
-            vals = imm[sel]
+            selg = grow(xp, sel.astype(np.uint32), n2) != 0
             for i2 in range(4):
-                rows[tgt, MC_VALUE[ch_id][i2]] = (
-                    (vals >> np.uint32(8 * (3 - i2))) & np.uint32(0xFF)
-                )
-            rows[tgt, op_col] = (vals.astype(np.int64) % bb.P).astype(np.uint32)
+                cols[MC_VALUE[ch_id][i2]] = xp.where(
+                    selg, grow(xp, be_byte(xp, imm, i2), n2),
+                    cols[MC_VALUE[ch_id][i2]])
+            cols[op_col] = xp.where(
+                selg, grow(xp, mod_p(imm), n2), cols[op_col])
 
         # -- word-equality witness (cpu/src/lib.rs:285-315) ----------------
-        v1 = rows[:, [MC_VALUE[0][i] for i in range(4)]].astype(np.int64)
-        v2 = rows[:, [MC_VALUE[1][i] for i in range(4)]].astype(np.int64)
-        diff = (((v1 - v2) % bb.P) ** 2 % bb.P).sum(axis=1) % bb.P
-        rows[:, DIFF] = diff.astype(np.uint32)
-        rows[:, DIFF_INV] = np.asarray(
-            bb.from_monty(bb.inv(bb.to_monty(diff.astype(np.uint32))))
-        )
-        rows[:, NOT_EQUAL] = (diff != 0).astype(np.uint32)
+        diff = None
+        for i in range(4):
+            d = bb.sub(cols[MC_VALUE[0][i]], cols[MC_VALUE[1][i]])
+            dm = bb.to_monty(d)
+            sq = bb.from_monty(bb.mul(dm, dm))
+            diff = sq if diff is None else bb.add(diff, sq)
+        cols[DIFF] = diff
+        cols[DIFF_INV] = bb.from_monty(bb.inv_batch(bb.to_monty(diff)))
+        cols[NOT_EQUAL] = (diff != 0).astype(np.uint32)
+        return assemble_columns(xp, NUM_CPU_COLS, n2, cols)
 
-        # -- STOP padding rows (cpu/src/lib.rs:317-354) --------------------
-        if n2 > n:
-            rows[n:, PC] = rows[n - 1, PC]
-            rows[n:, FP] = rows[n - 1, FP]
-            last_clk = int(rows[n - 1, CLK])
-            rows[n:, CLK] = (
-                (last_clk + 1 + np.arange(n2 - n)) % bb.P
-            ).astype(np.uint32)
-            rows[n:, IS_STOP] = 1
-            rows[n:, OPCODE] = OC.STOP
-            # padding rows have zero channel values -> diff = 0, and
-            # MC_IS_READ was pre-set for all rows above
-        return rows
+    def generate_trace(self, machine):
+        """Vectorized trace construction from the op log — data-oriented
+        per SURVEY.md §7; semantics identical to the reference's row loop
+        (cpu/src/lib.rs:80-354).  One implementation serves host (numpy)
+        and device (jnp, compiled) builds."""
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     # -- interactions (cpu/src/lib.rs:99-159) -------------------------------
 

@@ -172,34 +172,66 @@ class MemoryChip(Chip):
         self._rows_cache = rows
         return rows
 
-    def generate_trace(self, machine):
+    def device_trace_inputs(self, machine):
         rows_l = self._sorted_rows()
-        n2 = len(rows_l)
         arr = np.array(rows_l, dtype=np.int64)  # [n2, 4] clk kind addr value
-        clk, kind, addr, value = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
+        # range-bound assert stays host-side (data-dependent; the device
+        # build is branchless and produces identical limbs)
+        self._sort_deltas(arr[:, 0], arr[:, 1], arr[:, 2])
+        n2 = len(rows_l)
+        return tuple(arr.astype(np.uint32).T), (n2, n2)
 
-        rows = np.zeros((n2, NUM_MEM_COLS), dtype=np.uint32)
-        rows[:, CLK] = (clk % bb.P).astype(np.uint32)
-        rows[:, ADDR] = (addr % bb.P).astype(np.uint32)
-        vals = value.astype(np.uint32)
+    def build_trace(self, xp, inputs, meta):
+        from .chip import assemble_columns, be_byte
+
+        clk, kind, addr, vals = (x.astype(np.uint32) for x in inputs)
+        n2, _ = meta
+        p32 = np.uint32(bb.P)
+
+        def mod_p(x):
+            x = xp.where(x >= p32, x - p32, x)
+            return xp.where(x >= p32, x - p32, x)
+
+        cols = {}
+        cols[CLK] = mod_p(clk)
+        cols[ADDR] = mod_p(addr)
         for k in range(4):
-            rows[:, VALUE[k]] = (vals >> np.uint32(8 * (3 - k))) & np.uint32(0xFF)
-        rows[:, IS_READ] = (kind == 1).astype(np.uint32)
-        rows[:, IS_WRITE] = ((kind == 2) | (kind == 3)).astype(np.uint32)
-        rows[:, IS_STATIC_INITIAL] = (kind == 3).astype(np.uint32)
+            cols[VALUE[k]] = be_byte(xp, vals, k)
+        is_read = kind == np.uint32(1)
+        is_static = kind == np.uint32(3)
+        cols[IS_READ] = is_read.astype(np.uint32)
+        cols[IS_WRITE] = ((kind == np.uint32(2)) | is_static).astype(np.uint32)
+        cols[IS_STATIC_INITIAL] = is_static.astype(np.uint32)
 
         # delta limbs / diff_inv / addr_not_equal witnesses; clk deltas are
         # phase-weighted (static -1 < read 0 < write/dummy +1) to prove
-        # same-clk ordering — see module docstring
-        diff, ane, addr_delta = self._sort_deltas(clk, kind, addr)
+        # same-clk ordering — see module docstring.  Wrapping u32
+        # arithmetic is exact: every delta is nonnegative (asserted on the
+        # host in device_trace_inputs).
+        addr_delta = addr[1:] - addr[:-1]
+        phase = (np.uint32(1) - is_read.astype(np.uint32)
+                 - np.uint32(2) * is_static.astype(np.uint32))
+        clk_delta = (np.uint32(2) * (clk[1:] - clk[:-1])
+                     + (phase[1:] - phase[:-1]))
+        ane = addr_delta != 0
+        diff = xp.where(ane, addr_delta, clk_delta)
+        zero1 = xp.zeros(1, dtype=np.uint32)
         for k in range(4):
-            rows[:-1, DELTA[k]] = ((diff >> (8 * k)) & 0xFF).astype(np.uint32)
-        rows[:-1, ADDR_NOT_EQUAL] = ane.astype(np.uint32)
-        dinv_src = np.where(ane, addr_delta % bb.P, 0).astype(np.uint32)
-        rows[:-1, DIFF_INV] = np.asarray(
-            bb.from_monty(bb.inv(bb.to_monty(dinv_src)))
+            cols[DELTA[k]] = xp.concatenate(
+                [(diff >> np.uint32(8 * k)) & np.uint32(0xFF), zero1]
+            )
+        cols[ADDR_NOT_EQUAL] = xp.concatenate(
+            [ane.astype(np.uint32), zero1]
         )
-        return rows
+        dinv_src = xp.where(ane, mod_p(addr_delta), xp.zeros_like(addr_delta))
+        cols[DIFF_INV] = xp.concatenate(
+            [bb.from_monty(bb.inv_batch(bb.to_monty(dinv_src))), zero1]
+        )
+        return assemble_columns(xp, NUM_MEM_COLS, n2, cols)
+
+    def generate_trace(self, machine):
+        inputs, meta = self.device_trace_inputs(machine)
+        return self.build_trace(np, inputs, meta)
 
     @staticmethod
     def _sort_deltas(clk, kind, addr):

@@ -522,6 +522,46 @@ def _fri_fold(log_m, shift_layer, exported=True, ctx=None):
 
 _PERM_STAGE_CACHE = {}
 _QUOTIENT_STAGE_CACHE = {}
+_TRACE_STAGE_CACHE = {}
+
+# host->device upload accounting (reset per prove_jit call); the
+# device-side trace materialization exists to shrink this number
+transfer_stats = {"bytes": 0, "trace_bytes": 0}
+
+
+def _upload(x, ctx, kind="bytes"):
+    arr = jnp.asarray(x)
+    transfer_stats["bytes"] += int(arr.nbytes)
+    if kind == "trace":
+        transfer_stats["trace_bytes"] += int(arr.nbytes)
+    if ctx is None:
+        return arr
+    return jax.device_put(
+        arr, _shard_of(ctx, tuple(int(s) for s in arr.shape))
+    )
+
+
+def _trace_stage(machine, chip, shapes, meta, exported, ctx):
+    """Compiled device-side trace materialization for one chip: compact
+    op-log arrays in, the [n2, width] canonical trace out (bit-identical
+    to the host build — same build_trace code, xp=jnp)."""
+    key = (type(machine).__name__, chip.name, shapes, meta, exported,
+           _ctx_key(ctx))
+    fn = _TRACE_STAGE_CACHE.get(key)
+    if fn is None:
+        def stage(*inputs):
+            return chip.build_trace(jnp, inputs, meta)
+
+        fn = _exported_stage(
+            f"tracegen:{key}", stage,
+            tuple(_sds(*s, ctx=ctx) for s in shapes), exported, ctx,
+        )
+        _TRACE_STAGE_CACHE[key] = fn
+    return fn
+
+
+def _device_tracegen_enabled() -> bool:
+    return os.environ.get("VALIDA_TPU_DEVICE_TRACEGEN", "1") != "0"
 
 
 def _perm_stage(machine, chip, log_degree, width, exported=True, ctx=None):
@@ -837,21 +877,33 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     qds = [get_log_quotient_degree(machine, c) for c in chips]
 
     # -- traces -------------------------------------------------------------
+    transfer_stats["bytes"] = 0
+    transfer_stats["trace_bytes"] = 0
+
     prep_traces = [c.preprocessed_trace() for c in chips]
     prep_indices = {}
     prep_list = []
     for ci, p in enumerate(prep_traces):
         if p is not None:
             prep_indices[ci] = len(prep_list)
-            prep_list.append(place(jnp.asarray(np.asarray(p, dtype=np.uint32))))
+            prep_list.append(_upload(np.asarray(p, dtype=np.uint32), ctx))
     from ..utils import stage
 
+    def one_trace(c):
+        dti = (c.device_trace_inputs(machine)
+               if _device_tracegen_enabled() else None)
+        if dti is None:
+            return _upload(np.asarray(c.generate_trace(machine),
+                                      dtype=np.uint32), ctx, "trace")
+        inputs, tmeta = dti
+        shapes = tuple(tuple(int(s) for s in x.shape) for x in inputs)
+        fn = _trace_stage(machine, c, shapes, tmeta, exported, ctx)
+        return fn(*[_upload(x, ctx, "trace") for x in inputs])
+
     with stage("generate main traces"):
-        main_traces = [
-            place(jnp.asarray(np.asarray(c.generate_trace(machine),
-                                         dtype=np.uint32)))
-            for c in chips
-        ]
+        main_traces = _par_map([
+            (lambda c=c: one_trace(c)) for c in chips
+        ])
     log_degrees = [int(t.shape[0]).bit_length() - 1 for t in main_traces]
     g_subgroups = [bb.two_adic_generator(ld) for ld in log_degrees]
 
