@@ -1,0 +1,103 @@
+"""FRI early-stop (`log_final`): fold until the layer holds
+2^(log_blowup + log_final) values and ship the final polynomial's
+coefficients instead of folding to a constant.
+
+The reference's p3-fri folds to a single constant
+(`/root/reference/basic/src/bin/valida.rs:385-390` — blowup 2, 40 queries);
+log_final=0 reproduces that exactly, while log_final>0 trades a short final
+polynomial for log_final fewer commit-phase layers (fewer Merkle trees,
+query paths and sequential fold rounds — the production-TPU default for
+deep traces).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from valida_tpu.core.config import default_config
+from valida_tpu.commit.fri import FriError, final_poly_coeffs, fri_log_stop
+from valida_tpu.machine.examples import MiniMachine, random_mini_machine
+from valida_tpu.machine import VerificationError
+from valida_tpu.tooling.serde import serialize_proof, deserialize_proof
+
+PAIRS = [(1, 2), (3, 4), (15, 0), (7, 7), (2, 2), (9, 1), (0, 0), (8, 8),
+         (5, 5), (11, 2), (3, 3), (14, 1), (6, 9), (2, 13), (1, 1), (4, 4),
+         (10, 3), (12, 2), (7, 0), (15, 15)]
+
+
+def _cfg(log_final):
+    return default_config(num_queries=3, proof_of_work_bits=1,
+                          debug_checks=False, log_final=log_final)
+
+
+def _machine():
+    return MiniMachine(PAIRS)
+
+
+def test_log_final_prove_verify_roundtrip():
+    m = _machine()
+    for log_final in (0, 1, 2):
+        config = _cfg(log_final)
+        proof = m.prove(config)
+        m.verify(config, proof)
+
+
+def test_log_final_reduces_layers_and_matches_formats():
+    m = _machine()
+    p0 = m.prove(_cfg(0))
+    p2 = m.prove(_cfg(2))
+    assert (
+        len(p0.opening_proof.fri.commit_phase_commits)
+        - len(p2.opening_proof.fri.commit_phase_commits)
+        == 2
+    )
+    # log_final == 0 keeps the reference's scalar format
+    assert isinstance(p0.opening_proof.fri.final_poly[0], int)
+    # log_final == 2 ships 4 ext coefficients
+    assert len(final_poly_coeffs(p2.opening_proof.fri.final_poly)) == 4
+
+
+def test_log_final_clamps_to_min_height():
+    # the range table is 16 rows (LDE height 32 = 2^5); the sender trace is
+    # 32 rows (LDE 64 = 2^6). log_final beyond min height must clamp so the
+    # smaller reduced opening still folds into the transcript.
+    m = _machine()
+    config = _cfg(6)
+    proof = m.prove(config)
+    m.verify(config, proof)
+    log_max = 6
+    stop = fri_log_stop(config.pcs.config, log_max, 5)
+    assert stop == 5
+    assert len(proof.opening_proof.fri.commit_phase_commits) == log_max - stop
+
+
+def test_log_final_tampered_final_poly_rejected():
+    m = _machine()
+    config = _cfg(2)
+    proof = m.prove(config)
+    fp = [list(c) for c in proof.opening_proof.fri.final_poly]
+    fp[1][0] = (fp[1][0] + 1) % 2013265921
+    proof.opening_proof.fri.final_poly = tuple(tuple(c) for c in fp)
+    with pytest.raises((VerificationError, FriError)):
+        m.verify(config, proof)
+
+
+def test_log_final_wrong_layer_count_rejected():
+    m = _machine()
+    c2 = _cfg(2)
+    proof = m.prove(c2)
+    # verifying a log_final=2 proof under a log_final=0 config must fail
+    # loudly (layer-count check), not crash
+    with pytest.raises((VerificationError, FriError, IndexError)):
+        m.verify(_cfg(0), proof)
+
+
+def test_log_final_cbor_roundtrip():
+    m = _machine()
+    config = _cfg(2)
+    proof = m.prove(config)
+    blob = serialize_proof(proof)
+    back = deserialize_proof(blob)
+    assert back.opening_proof.fri.final_poly == proof.opening_proof.fri.final_poly
+    m.verify(config, back)

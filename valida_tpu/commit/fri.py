@@ -42,6 +42,12 @@ class FriConfig:
     num_queries: int = 40
     proof_of_work_bits: int = 8
     hasher: str = "keccak"  # "keccak" | "poseidon2" (Merkle MMCS hasher)
+    # Stop folding when the layer holds 2^(log_blowup + log_final) values and
+    # ship the final polynomial's 2^log_final coefficients instead of folding
+    # to a constant (0 = reference behavior: constant final poly).  Fewer
+    # commit-phase layers means fewer Merkle trees, query paths, and
+    # sequential fold rounds; the verifier evaluates the final poly directly.
+    log_final: int = 0
 
 
 @dataclasses.dataclass
@@ -59,9 +65,29 @@ class FriQueryProof:
 @dataclasses.dataclass
 class FriProof:
     commit_phase_commits: list  # roots, np.uint32[8]
-    final_poly: tuple  # ext scalar (canonical ints)
+    # log_final == 0: one ext scalar (5-tuple of canonical ints) — the
+    # constant final value (reference format).  log_final > 0: tuple of
+    # 2^log_final ext tuples — the final polynomial's coefficients
+    # (low-degree first).
+    final_poly: tuple
     pow_witness: int
     query_proofs: list  # [FriQueryProof]
+
+
+def final_poly_coeffs(final_poly) -> list:
+    """Normalize either final_poly format to a coefficient list."""
+    if final_poly and isinstance(final_poly[0], (tuple, list)):
+        return [tuple(int(x) for x in c) for c in final_poly]
+    return [tuple(int(x) for x in final_poly)]
+
+
+def fri_log_stop(config: FriConfig, log_max: int, min_height: int) -> int:
+    """Size (log2) of the last committed... rather, of the final evaluation
+    layer: folding stops once the layer holds 2^log_stop values.  Clamped so
+    every reduced-opening height still gets folded in (heights below the
+    final layer could otherwise never enter the transcript)."""
+    return max(config.log_blowup,
+               min(config.log_blowup + config.log_final, min_height, log_max))
 
 
 # ---------------------------------------------------------------------------
@@ -115,6 +141,38 @@ def fold_device(v, beta, x0_inv):
     d = extf.ext_mul(d, xp.broadcast_to(beta[None, :], d.shape))
     inv2 = np.uint32(bb.monty_scalar(bb.h_inv(2)))
     return bb.mul(bb.add(s, d), inv2)
+
+
+def extract_final_poly(current, config: FriConfig, log_max: int,
+                       log_stop: int, shift: int, challenger):
+    """current: [2^log_stop, 5] ext monty evals (bitrev order) after the
+    last fold, living on the squared coset.  Interpolates the final
+    polynomial, enforces the degree bound (coefficients above 2^log_final
+    must vanish — this is FRI's low-degree conclusion), observes the
+    coefficients, and returns the proof's final_poly field."""
+    from ..poly import ntt as nttm
+
+    n_layers = log_max - log_stop
+    m = 1 << log_stop
+    vals = np.asarray(current)  # monty, bitrev order
+    nat = vals[bitrev_indices(log_stop)] if log_stop > 0 else vals
+    s_fin = layer_shift(shift, n_layers)
+    coeffs_m = nttm.coset_intt(nat, s_fin)
+    coeffs = np.asarray(bb.from_monty(coeffs_m))  # [m, 5] canonical
+    n_keep = max(1, m >> config.log_blowup)
+    assert not coeffs[n_keep:].any(), (
+        "final FRI polynomial exceeds the degree bound"
+    )
+    if n_keep == 1:
+        final_poly = tuple(int(v) for v in coeffs[0])
+        challenger.observe_ext(final_poly)
+        return final_poly
+    final_poly = tuple(
+        tuple(int(v) for v in row) for row in coeffs[:n_keep]
+    )
+    for c in final_poly:
+        challenger.observe_ext(c)
+    return final_poly
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +256,7 @@ def fri_prove(reduced_openings: dict, config: FriConfig, shift: int, challenger)
     caller can attach input openings per query.
     """
     log_max = max(reduced_openings)
-    log_min = config.log_blowup
+    log_min = fri_log_stop(config, log_max, min(reduced_openings))
     current = reduced_openings[log_max]
 
     commits = []
@@ -222,12 +280,8 @@ def fri_prove(reduced_openings: dict, config: FriConfig, shift: int, challenger)
         if nxt in reduced_openings:
             current = bb.add(current, reduced_openings[nxt])
 
-    final_vals = np.asarray(bb.from_monty(current))  # [2^log_min, 5]
-    final_poly = tuple(int(v) for v in final_vals[0])
-    assert all(
-        tuple(int(v) for v in row) == final_poly for row in final_vals
-    ), "final FRI polynomial is not constant — degree bound violated"
-    challenger.observe_ext(final_poly)
+    final_poly = extract_final_poly(current, config, log_max, log_min, shift,
+                                    challenger)
 
     pow_witness = grind_device(challenger, config.proof_of_work_bits)
 
@@ -270,7 +324,8 @@ def fri_verify_challenges(proof: FriProof, config: FriConfig, log_max: int,
     for root in proof.commit_phase_commits:
         challenger.observe_digest(root)
         betas.append(challenger.sample_ext())
-    challenger.observe_ext(proof.final_poly)
+    for c in final_poly_coeffs(proof.final_poly):
+        challenger.observe_ext(c)
     if not challenger.check_witness(config.proof_of_work_bits, proof.pow_witness):
         raise FriError("proof-of-work check failed")
     indices = [
@@ -287,9 +342,14 @@ def verify_queries_fold(query_proofs, proof: FriProof, config: FriConfig,
     (cheap) scalar fold arithmetic per query."""
     from ..crypto.merkle import verify_openings
 
-    n_layers = len(proof.commit_phase_commits)
+    log_stop = fri_log_stop(config, log_max, min(ros[0]) if ros else log_max)
+    if len(proof.commit_phase_commits) != log_max - log_stop:
+        raise FriError(
+            f"wrong number of commit-phase layers: "
+            f"{len(proof.commit_phase_commits)} != {log_max - log_stop}"
+        )
     idx = np.asarray(indices, dtype=np.int64)
-    for layer, log_m in enumerate(range(log_max, config.log_blowup, -1)):
+    for layer, log_m in enumerate(range(log_max, log_stop, -1)):
         pair_idx = idx >> 1
         rows = np.stack([
             np.asarray(qp.commit_phase_openings[layer].pair_row,
@@ -306,7 +366,6 @@ def verify_queries_fold(query_proofs, proof: FriProof, config: FriConfig,
         ):
             raise FriError(f"bad commit-phase Merkle path at layer {layer}")
         idx = pair_idx
-    assert n_layers == log_max - config.log_blowup
     for qi, (qp, index, ro) in enumerate(zip(query_proofs, indices, ros)):
         _verify_query_fold_values(qp, proof, config, betas, int(index),
                                   log_max, shift, ro)
@@ -316,8 +375,15 @@ def verify_query_fold(query_proof: FriQueryProof, proof: FriProof,
                       config: FriConfig, betas, index: int, log_max: int,
                       shift: int, ro_at_index: dict) -> None:
     """Single-query form: per-layer Merkle verification + fold values."""
+    log_stop = fri_log_stop(config, log_max, min(ro_at_index) if ro_at_index
+                            else log_max)
+    if len(proof.commit_phase_commits) != log_max - log_stop:
+        raise FriError(
+            f"wrong number of commit-phase layers: "
+            f"{len(proof.commit_phase_commits)} != {log_max - log_stop}"
+        )
     idx = index
-    for layer, log_m in enumerate(range(log_max, config.log_blowup, -1)):
+    for layer, log_m in enumerate(range(log_max, log_stop, -1)):
         opening = query_proof.commit_phase_openings[layer]
         root = proof.commit_phase_commits[layer]
         pair_index = idx >> 1
@@ -334,10 +400,12 @@ def _verify_query_fold_values(query_proof: FriQueryProof, proof: FriProof,
                               config: FriConfig, betas, index: int,
                               log_max: int, shift: int,
                               ro_at_index: dict) -> None:
+    log_stop = fri_log_stop(config, log_max, min(ro_at_index) if ro_at_index
+                            else log_max)
     value = ro_at_index[log_max]
     idx = index
     layer = 0
-    for log_m in range(log_max, config.log_blowup, -1):
+    for log_m in range(log_max, log_stop, -1):
         opening = query_proof.commit_phase_openings[layer]
         pair_index = idx >> 1
         row = np.asarray(opening.pair_row, dtype=np.uint64)
@@ -363,7 +431,20 @@ def _verify_query_fold_values(query_proof: FriQueryProof, proof: FriProof,
         nxt = log_m - 1
         if nxt in ro_at_index:
             value = extf.e_add(value, ro_at_index[nxt])
-    if tuple(value) != tuple(proof.final_poly):
+    # evaluate the final polynomial at this query's point in the final
+    # (squared-coset) domain: x = s_fin * g^{brev(idx)}
+    coeffs = final_poly_coeffs(proof.final_poly)
+    s_fin = layer_shift(shift, log_max - log_stop)
+    x = (
+        s_fin
+        * pow(bb.two_adic_generator(log_stop), _bitrev_int(idx, log_stop),
+              bb.P)
+        % bb.P
+    )
+    ev = extf.E_ZERO
+    for c in reversed(coeffs):
+        ev = extf.e_add(extf.e_scale(ev, x), c)
+    if tuple(value) != tuple(ev):
         raise FriError("final polynomial mismatch")
 
 

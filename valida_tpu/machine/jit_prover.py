@@ -665,7 +665,8 @@ def _commit_level_shapes(committed_shapes):
     return out
 
 
-def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
+def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
+               mesh=None, row_axis: str = "sp"):
     """Build + compile every stage `prove_jit` will need, CONCURRENTLY.
 
     Stage shapes are fully determined by the machine's trace shapes (the
@@ -675,8 +676,10 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
     on zero inputs from a thread pool — XLA compilation releases the GIL,
     and on remote-compile backends the requests parallelize (~4x measured
     with 8 threads), landing in the persistent compilation cache so the
-    subsequent prove_jit only executes.  Single-device path (mesh=None)
-    only.  dry=True skips the execution pass (shape/signature check).
+    subsequent prove_jit only executes.  With `mesh`, warms the
+    mesh-sharded (GSPMD) stage set that `prove_jit(mesh=...)` uses — the
+    stage keys match exactly, so the distributed prove afterwards only
+    executes.  dry=True skips the execution pass (shape/signature check).
     Returns the number of stage signatures prepared."""
     from concurrent.futures import ThreadPoolExecutor
 
@@ -686,6 +689,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
     shift = pcs.coset_shift()
     log_blowup = pcs.log_blowup
     hasher = fri_config.hasher
+    ctx = (mesh, row_axis) if mesh is not None else None
 
     u32 = jnp.uint32
 
@@ -716,6 +720,18 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
     def add(fn, *args):
         jobs.append((fn, args))
 
+    # device-side trace materialization stages
+    if _device_tracegen_enabled():
+        for c in chips:
+            dti = c.device_trace_inputs(machine)
+            if dti is None:
+                continue
+            inputs, tmeta = dti
+            in_shapes = tuple(tuple(int(s) for s in x.shape) for x in inputs)
+            add(_trace_stage(machine, c, in_shapes, tmeta, True, ctx),
+                *(jax.ShapeDtypeStruct(tuple(int(s) for s in x.shape),
+                                       np.asarray(x).dtype) for x in inputs))
+
     # LDE stages (prep/main/perm at dshift=1; quotient at its coset shift)
     lde_keys = set()
     for shape in list(prep_shapes.values()) + main_shapes + perm_shapes:
@@ -723,7 +739,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
     for shape, ds in zip(quot_shapes, coset_shifts):
         lde_keys.add((shape, ds))
     for shape, ds in lde_keys:
-        add(_lde_stage(shape, ds, log_blowup, shift), sds(*shape))
+        add(_lde_stage(shape, ds, log_blowup, shift, True, ctx), sds(*shape))
 
     # Merkle level hashes per commit group (+ FRI layer commits below),
     # and the per-tree batched query-opening stages
@@ -736,7 +752,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
             return
         mat_shapes = tuple(committed)
         level_shapes = tuple((1 << k, 8) for k in range(lm, 0, -1))
-        fn = _open_batch_stage(mat_shapes, level_shapes, lm, nq)
+        fn = _open_batch_stage(mat_shapes, level_shapes, lm, nq, True, ctx)
         add(fn,
             tuple(_sds(*s) for s in mat_shapes),
             tuple(_sds(*s) for s in level_shapes),
@@ -757,7 +773,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
     # perm + quotient stages
     for ci, (c, ld) in enumerate(zip(chips, log_degrees)):
         h, w = main_shapes[ci]
-        add(_perm_stage(machine, c, ld, w), sds(h, w), sds(3, 5))
+        add(_perm_stage(machine, c, ld, w, True, ctx), sds(h, w), sds(3, 5))
         shapes_q = (
             (h << log_blowup, w),
             (perm_shapes[ci][0] << log_blowup, perm_shapes[ci][1]),
@@ -767,7 +783,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
         prep_arg = (sds(*shapes_q[2]) if shapes_q[2] is not None else None)
         add(
             _quotient_stage(machine, c, ld, qds[ci], shapes_q, shift,
-                            log_blowup),
+                            log_blowup, True, ctx),
             prep_arg, sds(*shapes_q[0]), sds(*shapes_q[1]),
             sds(3, 5), sds(5), sds(5),
         )
@@ -794,7 +810,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
         h = 1 << log_h
         sum_w = sum(all_mats[mi][0][1] for mi in members)
         shape = (h, sum_w)
-        add(_openings_stage(shape, kind), sds(*shape), sds(5))
+        add(_openings_stage(shape, kind, True, ctx), sds(*shape), sds(5))
         n_points = 2 if kind[0] == "pair" else 1
         log_lde = log_h + log_blowup
         col_offs = tuple(
@@ -803,7 +819,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
             for j in range(all_mats[mi][0][1])
         )
         add(
-            _reduced_stage(shape, kind, log_lde, col_offs, shift),
+            _reduced_stage(shape, kind, log_lde, col_offs, shift, True, ctx),
             sds(h << log_blowup, sum_w),
             tuple(sds(sum_w, 5) for _ in range(n_points)),
             sds(5), sds(5),
@@ -811,15 +827,17 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False):
 
     # FRI layers
     log_max = max(log_degrees) + log_blowup
-    for layer, log_m in enumerate(range(log_max, fri_config.log_blowup, -1)):
-        add(_fri_pair_mat(log_m), sds(1 << log_m, 5))
-        add(_fri_fold(log_m, frim.layer_shift(shift, layer)),
+    log_stop = frim.fri_log_stop(fri_config, log_max,
+                                 min(log_degrees) + log_blowup)
+    for layer, log_m in enumerate(range(log_max, log_stop, -1)):
+        add(_fri_pair_mat(log_m, True, ctx), sds(1 << log_m, 5))
+        add(_fri_fold(log_m, frim.layer_shift(shift, layer), True, ctx),
             sds(1 << log_m, 5), sds(5))
         hash_keys.update(_commit_level_shapes([(1 << (log_m - 1), 10)]))
         add_open_batch([(1 << (log_m - 1), 10)])
 
     for shape in hash_keys:
-        add(_hasher_jit(shape, hasher), sds(*shape))
+        add(_hasher_jit(shape, hasher, True, ctx), sds(*shape))
 
     def zeros_of(a):
         if a is None:
@@ -1111,7 +1129,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
 
     # -- FRI ----------------------------------------------------------------
     log_max = max(reduced)
-    log_min = fri_config.log_blowup
+    log_min = frim.fri_log_stop(fri_config, log_max, min(reduced))
     current = reduced[log_max]
     commits = []
     layer_trees = []
@@ -1136,9 +1154,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
             current = bb.add(current, reduced[nxt])
 
     fstage.__exit__(None, None, None)
-    final_vals = np.asarray(bb.from_monty(current))
-    final_poly = tuple(int(v) for v in final_vals[0])
-    challenger.observe_ext(final_poly)
+    final_poly = frim.extract_final_poly(np.asarray(current), fri_config,
+                                         log_max, log_min, shift, challenger)
     with stage("PoW grind"):
         pow_witness = frim.grind_device(challenger,
                                         fri_config.proof_of_work_bits)

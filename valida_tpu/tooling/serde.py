@@ -152,6 +152,20 @@ def _ext_obj(e):
     return [int(x) for x in e]
 
 
+def _final_poly_obj(fp):
+    """final_poly is one ext scalar (log_final == 0) or a coefficient list
+    of ext scalars (log_final > 0) — preserve the shape byte-for-byte."""
+    if fp and isinstance(fp[0], (tuple, list)):
+        return [_ext_obj(c) for c in fp]
+    return _ext_obj(fp)
+
+
+def _final_poly_from_obj(o):
+    if o and isinstance(o[0], list):
+        return tuple(tuple(int(x) for x in c) for c in o)
+    return tuple(int(x) for x in o)
+
+
 def proof_to_obj(proof: MachineProof) -> dict:
     fri = proof.opening_proof.fri
     return {
@@ -163,7 +177,7 @@ def proof_to_obj(proof: MachineProof) -> dict:
         },
         "fri": {
             "commits": [_digest_obj(c) for c in fri.commit_phase_commits],
-            "final_poly": _ext_obj(fri.final_poly),
+            "final_poly": _final_poly_obj(fri.final_poly),
             "pow_witness": int(fri.pow_witness),
             "query_proofs": [
                 [
@@ -225,7 +239,7 @@ def proof_from_obj(obj: dict) -> MachineProof:
     ]
     fri = FriProof(
         commit_phase_commits=[_digest_arr(c) for c in fri_obj["commits"]],
-        final_poly=tuple(fri_obj["final_poly"]),
+        final_poly=_final_poly_from_obj(fri_obj["final_poly"]),
         pow_witness=fri_obj["pow_witness"],
         query_proofs=fri_queries,
     )
