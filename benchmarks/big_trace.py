@@ -5,6 +5,7 @@ Generates the trace with the C++ interpreter, proves on the selected
 backend, verifies, and prints one JSON line.
 
 usage: python benchmarks/big_trace.py [log2_cycles] [numpy|jax] [queries]
+       [log_final]
 """
 
 import json
@@ -53,6 +54,7 @@ def main():
     log2_cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 17
     backend_name = sys.argv[2] if len(sys.argv) > 2 else "numpy"
     queries = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    log_final = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     n_iters = (1 << log2_cycles) // 14
     m = BasicMachine()
@@ -67,7 +69,8 @@ def main():
     from valida_tpu import backend
 
     backend.set_backend(backend_name)
-    config = default_config(num_queries=queries, debug_checks=False)
+    config = default_config(num_queries=queries, debug_checks=False,
+                            log_final=log_final)
 
     t_warmup = 0.0
     if backend_name == "jax":
@@ -98,6 +101,7 @@ def main():
                 "cycles": m.cpu().clock,
                 "backend": backend_name,
                 "queries": queries,
+                "log_final": log_final,
                 "run_s": t_run,
                 "warmup_s": t_warmup,
                 "value": t_prove,

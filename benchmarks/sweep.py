@@ -44,8 +44,18 @@ def bench_lde_merkle(log_rows, cols, hasher, iters=3):
         return d[0]
 
     f = jax.jit(commit)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, bb.P, size=(n, cols), dtype=np.uint32))
+
+    # synthesize the trace ON DEVICE (a hash over iota, reduced mod p):
+    # BASELINE's 2^22-2^24 sweep would otherwise be bounded by the dev
+    # tunnel's ~15 MB/s host->device transport, not the chip
+    @jax.jit
+    def gen():
+        i = jnp.arange(n * cols, dtype=jnp.uint32).reshape(n, cols)
+        x = i * jnp.uint32(747796405) + jnp.uint32(2891336453)
+        x = x ^ (x >> 16)
+        return x % jnp.uint32(bb.P)
+
+    x = gen()
     root = f(x)
     _ = np.asarray(root)
     t0 = time.perf_counter()
@@ -98,9 +108,13 @@ def bench_fib_prove():
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sizes = (
+        tuple(int(s) for s in sys.argv[2].split(","))
+        if len(sys.argv) > 2 else (16, 18, 20, 22)
+    )
     out = []
     if which in ("lde_merkle", "all"):
-        for log_rows in (16, 18):
+        for log_rows in sizes:
             for hasher in ("keccak", "poseidon2"):
                 out.append(bench_lde_merkle(log_rows, 64, hasher))
                 print(json.dumps(out[-1]), flush=True)

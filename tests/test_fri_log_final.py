@@ -58,18 +58,46 @@ def test_log_final_reduces_layers_and_matches_formats():
     assert len(final_poly_coeffs(p2.opening_proof.fri.final_poly)) == 4
 
 
-def test_log_final_clamps_to_min_height():
+def test_log_final_beyond_min_height_goes_direct():
     # the range table is 16 rows (LDE height 32 = 2^5); the sender trace is
-    # 32 rows (LDE 64 = 2^6). log_final beyond min height must clamp so the
-    # smaller reduced opening still folds into the transcript.
+    # 32 rows (LDE 64 = 2^6).  With threshold = log_blowup + 6 = 7, every
+    # sub-maximal matrix is opened directly and FRI degenerates to zero
+    # fold layers with a fully-shipped final polynomial.
     m = _machine()
     config = _cfg(6)
     proof = m.prove(config)
     m.verify(config, proof)
-    log_max = 6
-    stop = fri_log_stop(config.pcs.config, log_max, 5)
-    assert stop == 5
-    assert len(proof.opening_proof.fri.commit_phase_commits) == log_max - stop
+    assert len(proof.opening_proof.fri.commit_phase_commits) == 0
+    assert len(proof.opening_proof.direct_polys) > 0
+
+
+def test_direct_openings_ship_and_verify():
+    # log_final = 3 -> threshold 4: the range table (LDE 2^5) still folds,
+    # but its preprocessed counterpart etc. — count whatever went direct
+    # and make tampering any entry a verification failure
+    m = _machine()
+    config = _cfg(4)  # threshold 5: range-table mats (LDE 2^5) go direct
+    proof = m.prove(config)
+    assert len(proof.opening_proof.direct_polys) > 0
+    m.verify(config, proof)
+    bad = proof.opening_proof.direct_polys[0].copy()
+    bad[0, 0] = (int(bad[0, 0]) + 1) % 2013265921
+    proof.opening_proof.direct_polys[0] = bad
+    with pytest.raises((VerificationError, FriError)):
+        m.verify(config, proof)
+
+
+def test_direct_openings_cbor_roundtrip():
+    m = _machine()
+    config = _cfg(4)
+    proof = m.prove(config)
+    back = deserialize_proof(serialize_proof(proof))
+    assert len(back.opening_proof.direct_polys) == \
+        len(proof.opening_proof.direct_polys)
+    for a, b in zip(back.opening_proof.direct_polys,
+                    proof.opening_proof.direct_polys):
+        assert np.array_equal(a, b)
+    m.verify(config, back)
 
 
 def test_log_final_tampered_final_poly_rejected():

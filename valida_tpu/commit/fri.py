@@ -81,6 +81,28 @@ def final_poly_coeffs(final_poly) -> list:
     return [tuple(int(x) for x in final_poly)]
 
 
+def direct_open_threshold(config: FriConfig) -> int:
+    """Matrices whose LDE height is <= 2^threshold are opened DIRECTLY:
+    their full coefficient vector ships in the proof, the verifier
+    evaluates it at the opening points (zeta side) and at every query's
+    domain point against the Merkle-opened leaf row (commitment side) —
+    same per-query soundness as a FRI fold, with no reduced opening, no
+    fold participation, and no per-layer Merkle path.  Without this, one
+    tiny chip (a 1-row static-data trace) would clamp fri_log_stop to its
+    height and neutralize log_final for the whole machine.  -1 disables
+    (log_final == 0 keeps the reference proof format exactly)."""
+    if config.log_final <= 0:
+        return -1
+    return config.log_blowup + config.log_final
+
+
+def is_direct_mat(log_lde: int, log_max: int, threshold: int) -> bool:
+    """Direct-open predicate (must agree between prover and verifier):
+    at or under the threshold, and never the largest matrix (FRI needs at
+    least the top height)."""
+    return log_lde <= threshold and log_lde < log_max
+
+
 def fri_log_stop(config: FriConfig, log_max: int, min_height: int) -> int:
     """Size (log2) of the last committed... rather, of the final evaluation
     layer: folding stops once the layer holds 2^log_stop values.  Clamped so

@@ -51,6 +51,10 @@ class PcsQueryProof:
 class PcsProof:
     fri: FriProof
     query_proofs: list  # [PcsQueryProof]
+    # canonical [h, w] coefficient matrices of direct-opened tiny matrices
+    # (round-major matrix order; empty unless log_final > 0 — see
+    # fri.direct_open_threshold)
+    direct_polys: list = dataclasses.field(default_factory=list)
 
 
 class TwoAdicFriPcs:
@@ -142,7 +146,16 @@ class TwoAdicFriPcs:
                         challenger.observe_ext(val)
         alpha = challenger.sample_ext()
 
-        # 3. reduced openings per LDE height (bitrev order, ext monty)
+        # 3. reduced openings per LDE height (bitrev order, ext monty);
+        # tiny matrices are opened directly (full coefficients in the
+        # proof) and stay out of the FRI battery
+        threshold = frim.direct_open_threshold(config)
+        log_max_all = max(
+            lh + self.log_blowup
+            for data, _p in rounds
+            for lh in data.log_heights
+        )
+        direct_polys = []
         reduced = {}
         alpha_offset = 0
         for (data, points), round_vals in zip(rounds, opened_values):
@@ -151,6 +164,11 @@ class TwoAdicFriPcs:
             ):
                 w = int(lde.shape[1])
                 log_lde = int(lde.shape[0]).bit_length() - 1
+                if frim.is_direct_mat(log_lde, log_max_all, threshold):
+                    direct_polys.append(
+                        np.asarray(bb.from_monty(coeffs), dtype=np.uint32)
+                    )
+                    continue
                 xp = xp_of(lde)
                 apows = extf.e_powers(alpha, alpha_offset + w)[alpha_offset:]
                 apows_m = bb.to_monty(
@@ -202,7 +220,9 @@ class TwoAdicFriPcs:
                 )
             )
 
-        return opened_values, PcsProof(fri=fri_proof, query_proofs=query_proofs)
+        return opened_values, PcsProof(fri=fri_proof,
+                                       query_proofs=query_proofs,
+                                       direct_polys=direct_polys)
 
     # -- verify ------------------------------------------------------------
 
@@ -230,21 +250,69 @@ class TwoAdicFriPcs:
             proof.fri, config, log_max, challenger
         )
 
+        # direct-opened tiny matrices: full coefficients ship in the proof;
+        # check the claimed zeta-side openings against them here, and the
+        # commitment side per query below.  They carry no alpha powers and
+        # no reduced opening.
+        threshold = frim.direct_open_threshold(config)
+        direct = {}  # (ri, mi) -> canonical [h, w] np.uint64 coeffs
+        di = 0
+        for ri, rdims in enumerate(dims):
+            for mi, (h, w) in enumerate(rdims):
+                log_lde = int(h).bit_length() - 1 + self.log_blowup
+                if not frim.is_direct_mat(log_lde, log_max, threshold):
+                    continue
+                if di >= len(proof.direct_polys):
+                    raise FriError("missing direct-opened polynomial")
+                coeffs = np.asarray(proof.direct_polys[di], dtype=np.uint64)
+                di += 1
+                if coeffs.shape != (int(h), int(w)) or (coeffs >= bb.P).any():
+                    raise FriError("malformed direct-opened polynomial")
+                direct[(ri, mi)] = coeffs
+        if di != len(proof.direct_polys):
+            raise FriError("unexpected extra direct-opened polynomials")
+        for (ri, mi), coeffs in direct.items():
+            for z, point_vals in zip(rounds[ri][1][mi], opened_values[ri][mi]):
+                zp = np.asarray(
+                    extf.e_powers(z, coeffs.shape[0]), dtype=np.uint64
+                )  # [h, 5]
+                # vals[w, 5] = sum_i coeffs[i, c] * z^i  (base * ext)
+                vals = np.zeros((coeffs.shape[1], 5), dtype=np.uint64)
+                for d in range(5):
+                    vals[:, d] = (
+                        (coeffs * zp[:, d:d + 1]) % bb.P
+                    ).sum(axis=0) % bb.P
+                claimed = np.asarray(point_vals, dtype=np.uint64)
+                if not np.array_equal(vals, claimed):
+                    raise FriError(
+                        "direct-opened polynomial disagrees with opened values"
+                    )
+
         # precompute alpha powers + the query-independent point-side
         # combinations ONCE (the per-query loop below only combines the
         # opened leaf row; recomputing powers/comb_y per query was the
         # host verifier's dominant cost)
         total_width = 0
-        for (root, points), rdims, round_vals in zip(rounds, dims, opened_values):
-            assert len(points) == len(rdims) == len(round_vals)
-            total_width += sum(w for (_h, w) in rdims)
+        for ri, (rdims, round_vals) in enumerate(zip(dims, opened_values)):
+            assert len(rounds[ri][1]) == len(rdims) == len(round_vals)
+            total_width += sum(
+                w for mi, (_h, w) in enumerate(rdims)
+                if (ri, mi) not in direct
+            )
         apows_all = extf.e_powers(alpha, max(total_width, 1))
         apows_np = np.asarray(apows_all, dtype=np.uint64)  # [W, 5]
         comb_ys = []  # [round][mat][point] = Σ_c α^{off+c}·y_c
         off = 0
-        for (root, points), rdims, round_vals in zip(rounds, dims, opened_values):
+        for ri, ((root, points), rdims, round_vals) in enumerate(
+            zip(rounds, dims, opened_values)
+        ):
             round_comb = []
-            for (h, w), mat_points, mat_vals in zip(rdims, points, round_vals):
+            for mi, ((h, w), mat_points, mat_vals) in enumerate(
+                zip(rdims, points, round_vals)
+            ):
+                if (ri, mi) in direct:
+                    round_comb.append(None)
+                    continue
                 apows = apows_all[off:off + w]
                 mat_comb = []
                 for point_vals in mat_vals:
@@ -304,6 +372,27 @@ class TwoAdicFriPcs:
                         )
                         % bb.P
                     )
+                    if (ri, mi) in direct:
+                        # commitment side of a direct opening: the
+                        # Merkle-verified leaf row must equal the shipped
+                        # polynomial evaluated at this query's point
+                        coeffs = direct[(ri, mi)]
+                        xpow = np.empty(coeffs.shape[0], dtype=np.uint64)
+                        acc_x = 1
+                        for i in range(coeffs.shape[0]):
+                            xpow[i] = acc_x
+                            acc_x = acc_x * x % bb.P
+                        vals = (
+                            (coeffs * xpow[:, None]) % bb.P
+                        ).sum(axis=0) % bb.P
+                        if not np.array_equal(
+                            vals, np.asarray(row, dtype=np.uint64) % bb.P
+                        ):
+                            raise FriError(
+                                "direct-opened polynomial disagrees with "
+                                "committed row"
+                            )
+                        continue
                     # comb_row = Σ_c α^{off+c}·row_c, vectorized: per-term
                     # products < p² < 2^62 fit u64; reduce before the sum
                     ap = apows_np[alpha_offset:alpha_offset + w]

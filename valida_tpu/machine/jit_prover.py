@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 
 import numpy as np
 import jax
@@ -313,14 +314,64 @@ def _hash_level(mats, hasher_name="keccak", exported=True, ctx=None):
                        exported, ctx)(cat)
 
 
+def _tree_fuse_max() -> int:
+    """Trees up to this many leaves build ALL levels in ONE stage (one
+    compile, one device dispatch, instead of ~2·log_n per-level calls —
+    dispatch latency over the device tunnel dominates small commits).
+    Bigger trees keep per-level stages: their hash shapes are shared
+    across trees and their compiles parallelize in warmup."""
+    return int(os.environ.get("VALIDA_TPU_TREE_FUSE_MAX", 1 << 13))
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_stage(mat_shapes, hasher_name, exported=True, ctx=None):
+    """Whole Merkle forest build (mixed heights with level injection) as
+    one stage: leaf matrices in, every digest level out (log_max..0)."""
+    from ..crypto.merkle import get_hasher
+
+    h = get_hasher(hasher_name)
+    by_level = {}
+    for mi, (rows, _w) in enumerate(mat_shapes):
+        by_level.setdefault(int(rows).bit_length() - 1, []).append(mi)
+    log_max = max(by_level)
+
+    def cat(ms):
+        return jnp.concatenate(ms, axis=1) if len(ms) > 1 else ms[0]
+
+    def stage(mats):
+        out = []
+        d = h.hash_words(cat([mats[i] for i in by_level[log_max]]))
+        out.append(d)
+        k = log_max
+        while k > 0:
+            k -= 1
+            d = h.hash_words(cat([d[0::2], d[1::2]]))
+            if k in by_level:
+                inj = h.hash_words(cat([mats[i] for i in by_level[k]]))
+                d = h.hash_words(cat([d, inj]))
+            out.append(d)
+        return tuple(out)
+
+    return _exported_stage(
+        f"tree:{mat_shapes}:{hasher_name}", stage,
+        (tuple(_sds(*s, ctx=ctx) for s in mat_shapes),), exported, ctx,
+    )
+
+
 def _build_levels_jit(mats, hasher_name="keccak", exported=True, ctx=None):
-    """Like _build_levels, but per-level jitted keccak calls (small
-    compiles, shared across trees of the same shapes)."""
+    """Like _build_levels, but jitted: one fused stage for small trees,
+    per-level jitted hash calls (small compiles, shared across trees of
+    the same shapes) for big ones."""
+    shapes = tuple(tuple(int(x) for x in m.shape) for m in mats)
     by_level = {}
     for m in mats:
         k = int(m.shape[0]).bit_length() - 1
         by_level.setdefault(k, []).append(m)
     log_max = max(by_level)
+    if (1 << log_max) <= _tree_fuse_max():
+        outs = _tree_stage(shapes, hasher_name, exported, ctx)(tuple(mats))
+        levels = {log_max - i: a for i, a in enumerate(outs)}
+        return np.asarray(levels[0][0]), levels
     levels = {}
     d = _hash_level(by_level[log_max], hasher_name, exported, ctx)
     levels[log_max] = d
@@ -633,9 +684,15 @@ def _par_map(thunks):
     XLA compilation releases the GIL, so first-call compiles of the
     per-chip / per-group stages overlap across threads; results and
     transcript order are unchanged (every challenger interaction happens
-    outside these loops).  VALIDA_TPU_PAR=0 forces sequential."""
+    outside these loops).  VALIDA_TPU_PAR=0 forces sequential; non-CPU
+    backends default to sequential (the experimental tunnel PJRT plugin
+    deadlocks under concurrent first calls — VALIDA_TPU_PAR=1 forces
+    threads back on)."""
     thunks = list(thunks)
-    if len(thunks) <= 1 or os.environ.get("VALIDA_TPU_PAR", "1") == "0":
+    par = os.environ.get("VALIDA_TPU_PAR")
+    if par is None:
+        par = "1" if jax.default_backend() == "cpu" else "0"
+    if len(thunks) <= 1 or par == "0":
         return [t() for t in thunks]
     from concurrent.futures import ThreadPoolExecutor
 
@@ -758,6 +815,15 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
             tuple(_sds(*s) for s in level_shapes),
             jax.ShapeDtypeStruct((nq,), jnp.int32))
 
+    def add_commit(committed):
+        lm = max(int(h).bit_length() - 1 for (h, _w) in committed)
+        if (1 << lm) <= _tree_fuse_max():
+            add(_tree_stage(tuple(committed), hasher, True, ctx),
+                tuple(sds(*s) for s in committed))
+        else:
+            hash_keys.update(_commit_level_shapes(committed))
+        add_open_batch(committed)
+
     for group in (
         [prep_shapes[ci] for ci in sorted(prep_shapes)] or None,
         main_shapes,
@@ -766,9 +832,7 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
     ):
         if not group:
             continue
-        committed = [(h << log_blowup, w) for (h, w) in group]
-        hash_keys.update(_commit_level_shapes(committed))
-        add_open_batch(committed)
+        add_commit([(h << log_blowup, w) for (h, w) in group])
 
     # perm + quotient stages
     for ci, (c, ld) in enumerate(zip(chips, log_degrees)):
@@ -798,13 +862,24 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
         all_mats.append((perm_shapes[ci], ("pair", log_degrees[ci])))
     for ci in range(len(chips)):
         all_mats.append((quot_shapes[ci], ("pow", qds[ci])))
+    threshold = frim.direct_open_threshold(fri_config)
+    log_max_all = max(h.bit_length() - 1 + log_blowup
+                      for (h, _w), _k in all_mats)
+    direct_set = {
+        mi for mi, ((h, _w), _k) in enumerate(all_mats)
+        if frim.is_direct_mat(h.bit_length() - 1 + log_blowup,
+                              log_max_all, threshold)
+    }
     mat_offs = []
     off = 0
-    for (_h, w), _k in all_mats:
+    for mi, ((_h, w), _k) in enumerate(all_mats):
         mat_offs.append(off)
-        off += w
+        if mi not in direct_set:
+            off += w
     groups = {}  # (log_h, kind) -> [mat index]
     for mi, ((h, _w), kind) in enumerate(all_mats):
+        if mi in direct_set:
+            continue
         groups.setdefault((h.bit_length() - 1, kind), []).append(mi)
     for (log_h, kind), members in groups.items():
         h = 1 << log_h
@@ -825,16 +900,20 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
             sds(5), sds(5),
         )
 
-    # FRI layers
+    # FRI layers (direct-opened tiny mats carry no reduced opening, so the
+    # fold range is clamped by the smallest PARTICIPATING height)
     log_max = max(log_degrees) + log_blowup
-    log_stop = frim.fri_log_stop(fri_config, log_max,
-                                 min(log_degrees) + log_blowup)
+    min_part = min(
+        h.bit_length() - 1 + log_blowup
+        for mi, ((h, _w), _k) in enumerate(all_mats)
+        if mi not in direct_set
+    )
+    log_stop = frim.fri_log_stop(fri_config, log_max, min_part)
     for layer, log_m in enumerate(range(log_max, log_stop, -1)):
         add(_fri_pair_mat(log_m, True, ctx), sds(1 << log_m, 5))
         add(_fri_fold(log_m, frim.layer_shift(shift, layer), True, ctx),
             sds(1 << log_m, 5), sds(5))
-        hash_keys.update(_commit_level_shapes([(1 << (log_m - 1), 10)]))
-        add_open_batch([(1 << (log_m - 1), 10)])
+        add_commit([(1 << (log_m - 1), 10)])
 
     for shape in hash_keys:
         add(_hasher_jit(shape, hasher, True, ctx), sds(*shape))
@@ -846,16 +925,43 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
             return tuple(zeros_of(x) for x in a)
         return jnp.zeros(a.shape, a.dtype)
 
+    log_progress = os.environ.get("VALIDA_TPU_WARMUP_LOG", "0") == "1"
+
+    def shapes_of(a):
+        if a is None:
+            return None
+        if isinstance(a, tuple):
+            return tuple(shapes_of(x) for x in a)
+        return tuple(a.shape)
+
     def compile_one(job):
         fn, args = job
+        if log_progress:
+            import time as _time
+
+            print(f"[warmup {jobs.index(job)+1}/{len(jobs)}] "
+                  f"{_time.strftime('%H:%M:%S')} args={shapes_of(args)}",
+                  file=sys.stderr, flush=True)
         if dry:  # signature check only (tests): abstract evaluation
             jax.eval_shape(fn, *args)
         else:
             out = fn(*(zeros_of(a) for a in args))
             jax.block_until_ready(out)
 
-    with ThreadPoolExecutor(max_workers=threads) as ex:
-        list(ex.map(compile_one, jobs))
+    # the experimental tunnel PJRT plugin deadlocks under concurrent
+    # first-call compiles (observed: all threads futex-parked); default to
+    # serial off-CPU, overridable once a backend is known thread-safe
+    env_threads = os.environ.get("VALIDA_TPU_WARMUP_THREADS")
+    if env_threads is not None:
+        threads = int(env_threads)
+    elif jax.default_backend() != "cpu":
+        threads = 1
+    if threads <= 1:
+        for job in jobs:
+            compile_one(job)
+    else:
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            list(ex.map(compile_one, jobs))
     return len(jobs)
 
 
@@ -1047,11 +1153,31 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         all_ldes += ldes
         all_kinds += list(kinds)
 
+    # direct-opened tiny matrices (commit/fri.py direct_open_threshold):
+    # full coefficients ship in the proof, zeta openings are evaluated
+    # host-side from them (exact arithmetic, bit-identical to the device
+    # stage), and they skip the openings/reduced stages and FRI entirely
+    threshold = frim.direct_open_threshold(fri_config)
+    log_max_all = max(
+        int(c.shape[0]).bit_length() - 1 + log_blowup for c in all_coeffs
+    )
+    direct_set = set()
+    direct_polys = []
+    for mi, c in enumerate(all_coeffs):
+        log_lde = int(c.shape[0]).bit_length() - 1 + log_blowup
+        if frim.is_direct_mat(log_lde, log_max_all, threshold):
+            direct_set.add(mi)
+            direct_polys.append(
+                np.asarray(bb.from_monty(c), dtype=np.uint32)
+            )
+
     # group matrices by (height, point-kind): one openings stage and one
     # reduced stage per group instead of per matrix (identical values,
     # far fewer compiles — see _reduced_stage)
     groups = {}  # (log_h, kind) -> [mat index]
     for mi, (c, kind) in enumerate(zip(all_coeffs, all_kinds)):
+        if mi in direct_set:
+            continue
         key = (int(c.shape[0]).bit_length() - 1, kind)
         groups.setdefault(key, []).append(mi)
 
@@ -1060,6 +1186,29 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
                jnp.concatenate([all_coeffs[mi] for mi in members], axis=1))
         return _openings_stage(tuple(int(x) for x in cat.shape), kind,
                                exported, ctx)(cat, zeta_m)
+
+    def open_direct(mi):
+        """Host evaluation of a direct mat at its kind's points."""
+        coeffs = direct_polys[sorted(direct_set).index(mi)].astype(np.uint64)
+        tag, param = all_kinds[mi]
+        if tag == "pair":
+            g = bb.two_adic_generator(param)
+            points = [zeta, extf.e_scale(zeta, g)]
+        else:
+            zq = zeta
+            for _ in range(param):
+                zq = extf.e_mul(zq, zq)
+            points = [zq]
+        out = []
+        for z in points:
+            zp = np.asarray(extf.e_powers(z, coeffs.shape[0]),
+                            dtype=np.uint64)  # [h, 5]
+            vals = np.zeros((coeffs.shape[1], 5), dtype=np.uint64)
+            for d in range(5):
+                vals[:, d] = ((coeffs * zp[:, d:d + 1]) % bb.P
+                              ).sum(axis=0) % bb.P
+            out.append([tuple(int(x) for x in row) for row in vals])
+        return out
 
     with stage("open at zeta"):
         group_vals = _par_map([
@@ -1075,8 +1224,9 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
                 off += w
     # observe opened values (canonical, host)
     opened_host = [
-        [_to_ext_tuples(bb.from_monty(v)) for v in mat_vals]
-        for mat_vals in opened_dev
+        (open_direct(mi) if mi in direct_set else
+         [_to_ext_tuples(bb.from_monty(v)) for v in opened_dev[mi]])
+        for mi in range(len(all_coeffs))
     ]
     for mat_vals in opened_host:
         for point_vals in mat_vals:
@@ -1087,9 +1237,10 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
 
     mat_offs = []  # absolute alpha-power offset of each matrix
     off = 0
-    for c in all_coeffs:
+    for mi, c in enumerate(all_coeffs):
         mat_offs.append(off)
-        off += int(c.shape[1])
+        if mi not in direct_set:  # direct mats carry no alpha powers
+            off += int(c.shape[1])
     def reduce_group(log_h, kind, members):
         log_lde = log_h + log_blowup
         cat_lde = (all_ldes[members[0]] if len(members) == 1 else
@@ -1217,7 +1368,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
             )
         )
     ostage.__exit__(None, None, None)
-    opening_proof = PcsProof(fri=fri_proof, query_proofs=pcs_queries)
+    opening_proof = PcsProof(fri=fri_proof, query_proofs=pcs_queries,
+                             direct_polys=direct_polys)
 
     # -- assemble opened values per chip ------------------------------------
     n_prep = len(prep_list)

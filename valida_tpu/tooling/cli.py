@@ -52,6 +52,10 @@ def main(argv=None):
                         help="prove with the device-resident jitted prover")
     parser.add_argument("--hasher", choices=["keccak", "poseidon2"],
                         default="keccak", help="Merkle MMCS hasher")
+    parser.add_argument("--log-final", type=int, default=0,
+                        help="FRI early stop: ship a 2^N-coefficient final "
+                             "polynomial instead of folding to a constant "
+                             "(prove and verify must agree)")
     parser.add_argument("--no-debug-checks", action="store_true")
     args = parser.parse_args(argv)
 
@@ -93,7 +97,7 @@ def main(argv=None):
         return 0
 
     config = default_config(debug_checks=not args.no_debug_checks,
-                            hasher=args.hasher)
+                            hasher=args.hasher, log_final=args.log_final)
 
     if args.action == "prove":
         machine.run(advice=advice)

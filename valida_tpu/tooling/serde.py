@@ -168,7 +168,7 @@ def _final_poly_from_obj(o):
 
 def proof_to_obj(proof: MachineProof) -> dict:
     fri = proof.opening_proof.fri
-    return {
+    obj = {
         "commitments": {
             "preprocessed": _digest_obj(proof.commitments.preprocessed),
             "main_trace": _digest_obj(proof.commitments.main_trace),
@@ -217,6 +217,15 @@ def proof_to_obj(proof: MachineProof) -> dict:
             for cp in proof.chip_proofs
         ],
     }
+    # only present when log_final > 0 produced direct-opened tiny matrices
+    # (keeps the log_final == 0 byte format — and the golden fixture —
+    # unchanged)
+    if getattr(proof.opening_proof, "direct_polys", None):
+        obj["direct_polys"] = [
+            [[int(x) for x in row] for row in np.asarray(m)]
+            for m in proof.opening_proof.direct_polys
+        ]
+    return obj
 
 
 def _digest_arr(o):
@@ -280,7 +289,14 @@ def proof_from_obj(obj: dict) -> MachineProof:
             perm_trace=_digest_arr(c["perm_trace"]),
             quotient_chunks=_digest_arr(c["quotient_chunks"]),
         ),
-        opening_proof=PcsProof(fri=fri, query_proofs=pcs_queries),
+        opening_proof=PcsProof(
+            fri=fri,
+            query_proofs=pcs_queries,
+            direct_polys=[
+                np.array(m, dtype=np.uint32)
+                for m in obj.get("direct_polys", [])
+            ],
+        ),
         chip_proofs=chip_proofs,
     )
 
