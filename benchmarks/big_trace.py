@@ -76,11 +76,12 @@ def main():
     if backend_name == "jax":
         from valida_tpu.machine.jit_prover import prove_jit, warmup_jit
 
-        t0 = time.perf_counter()
-        n_stages = warmup_jit(m, config)
-        t_warmup = time.perf_counter() - t0
-        print(f"[warmup] {n_stages} stages compiled in {t_warmup:.1f}s",
-              file=sys.stderr)
+        if os.environ.get("VALIDA_TPU_BENCH_WARMUP", "1") != "0":
+            t0 = time.perf_counter()
+            n_stages = warmup_jit(m, config)
+            t_warmup = time.perf_counter() - t0
+            print(f"[warmup] {n_stages} stages compiled in {t_warmup:.1f}s",
+                  file=sys.stderr)
 
     t0 = time.perf_counter()
     if backend_name == "jax":
