@@ -116,8 +116,9 @@ def test_log_final_wrong_layer_count_rejected():
     c2 = _cfg(2)
     proof = m.prove(c2)
     # verifying a log_final=2 proof under a log_final=0 config must fail
-    # loudly (layer-count check), not crash
-    with pytest.raises((VerificationError, FriError, IndexError)):
+    # with a typed verification error (layer-count / final-poly shape
+    # checks), never an untyped crash like IndexError
+    with pytest.raises((VerificationError, FriError)):
         m.verify(_cfg(0), proof)
 
 
@@ -129,3 +130,62 @@ def test_log_final_cbor_roundtrip():
     back = deserialize_proof(blob)
     assert back.opening_proof.fri.final_poly == proof.opening_proof.fri.final_poly
     m.verify(config, back)
+
+
+def test_overlength_final_poly_rejected():
+    """Soundness-critical (ADVICE r2 high #1): a final polynomial with MORE
+    than 2^(log_stop - log_blowup) coefficients could interpolate the final
+    fold layer of arbitrary non-low-degree data; the verifier must enforce
+    the exact count."""
+    m = _machine()
+    config = _cfg(2)
+    proof = m.prove(config)
+    fp = list(proof.opening_proof.fri.final_poly)
+    # even a zero pad (which evaluates identically) must be rejected —
+    # the exact coefficient count is part of the soundness argument
+    fp.append((0, 0, 0, 0, 0))
+    proof.opening_proof.fri.final_poly = tuple(fp)
+    with pytest.raises((VerificationError, FriError)):
+        m.verify(config, proof)
+
+
+def test_scalar_final_poly_enforced_at_log_final_zero():
+    """log_final == 0 must enforce the reference scalar format: a 1-element
+    list that decodes to the same coefficient is still rejected."""
+    m = _machine()
+    config = _cfg(0)
+    proof = m.prove(config)
+    scalar = tuple(proof.opening_proof.fri.final_poly)
+    proof.opening_proof.fri.final_poly = (scalar,)  # list-of-one format
+    with pytest.raises((VerificationError, FriError)):
+        m.verify(config, proof)
+
+
+def test_direct_polys_are_transcript_bound():
+    """ADVICE r2 high #2: direct-opened coefficients must be observed by
+    the challenger before alpha / query sampling, so a prover cannot pick
+    them after seeing the queries."""
+    from valida_tpu.commit.pcs import observe_direct_polys
+    from valida_tpu.core.config import default_config as _dc
+
+    c1 = _dc().challenger()
+    c2 = _dc().challenger()
+    mat_a = np.arange(12, dtype=np.uint32).reshape(4, 3)
+    mat_b = mat_a.copy()
+    mat_b[0, 0] += 1
+    observe_direct_polys(c1, [mat_a])
+    observe_direct_polys(c2, [mat_b])
+    assert c1.sample() != c2.sample()
+
+
+def test_tampered_direct_poly_rejected():
+    m = _machine()
+    config = _cfg(2)
+    proof = m.prove(config)
+    if not proof.opening_proof.direct_polys:
+        pytest.skip("config produced no direct-opened matrices")
+    dp = np.array(proof.opening_proof.direct_polys[0], dtype=np.uint32)
+    dp[0, 0] = (int(dp[0, 0]) + 1) % 2013265921
+    proof.opening_proof.direct_polys[0] = dp
+    with pytest.raises((VerificationError, FriError)):
+        m.verify(config, proof)

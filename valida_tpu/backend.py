@@ -18,12 +18,40 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+def _host_cpu_fingerprint() -> str:
+    """Short digest of the host's CPU architecture + feature flags.
+
+    XLA:CPU AOT cache entries embed the compile machine's feature set;
+    loading them on a host with different features risks SIGILL (observed
+    as cpu_aot_loader warnings in MULTICHIP_r02.json).  Namespacing the
+    persistent cache by host features guarantees entries compiled on one
+    machine (e.g. prebaked payloads shipped in the repo) are never loaded
+    on an incompatible one — they just miss and recompile."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}:{flags}"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 # persistent XLA compilation cache: stage compiles (and slow remote
 # compiles) are one-time per shape across all processes
 try:
-    _cache_dir = os.environ.get(
-        "VALIDA_TPU_XLA_CACHE",
-        os.path.expanduser("~/.cache/valida_tpu_xla"),
+    _cache_dir = os.path.join(
+        os.environ.get(
+            "VALIDA_TPU_XLA_CACHE",
+            os.path.expanduser("~/.cache/valida_tpu_xla"),
+        ),
+        f"cpu-{_host_cpu_fingerprint()}",
     )
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -81,6 +81,30 @@ def final_poly_coeffs(final_poly) -> list:
     return [tuple(int(x) for x in final_poly)]
 
 
+def check_final_poly_shape(proof: "FriProof", config: FriConfig,
+                           log_stop: int) -> None:
+    """Soundness-critical shape check: the final polynomial must have
+    EXACTLY 2^(log_stop - log_blowup) coefficients.  Without this, a
+    malicious prover ships 2^log_stop coefficients that interpolate the
+    final fold layer of arbitrary (non-low-degree) data, every fold check
+    passes, and FRI's low-degree guarantee is void.  When log_final == 0
+    the reference scalar format (a single constant, not a list) is also
+    enforced so the proof byte format stays pinned."""
+    nested = bool(proof.final_poly) and isinstance(
+        proof.final_poly[0], (tuple, list)
+    )
+    if config.log_final == 0 and nested:
+        raise FriError(
+            "final polynomial must be a single constant when log_final == 0"
+        )
+    n = len(final_poly_coeffs(proof.final_poly))
+    expect = 1 << max(0, log_stop - config.log_blowup)
+    if n != expect:
+        raise FriError(
+            f"final polynomial has {n} coefficients, expected {expect}"
+        )
+
+
 def direct_open_threshold(config: FriConfig) -> int:
     """Matrices whose LDE height is <= 2^threshold are opened DIRECTLY:
     their full coefficient vector ships in the proof, the verifier
@@ -365,11 +389,19 @@ def verify_queries_fold(query_proofs, proof: FriProof, config: FriConfig,
     from ..crypto.merkle import verify_openings
 
     log_stop = fri_log_stop(config, log_max, min(ros[0]) if ros else log_max)
-    if len(proof.commit_phase_commits) != log_max - log_stop:
+    n_layers = log_max - log_stop
+    if len(proof.commit_phase_commits) != n_layers:
         raise FriError(
             f"wrong number of commit-phase layers: "
-            f"{len(proof.commit_phase_commits)} != {log_max - log_stop}"
+            f"{len(proof.commit_phase_commits)} != {n_layers}"
         )
+    check_final_poly_shape(proof, config, log_stop)
+    for qp in query_proofs:
+        if len(qp.commit_phase_openings) != n_layers:
+            raise FriError(
+                f"query proof has {len(qp.commit_phase_openings)} "
+                f"commit-phase openings, expected {n_layers}"
+            )
     idx = np.asarray(indices, dtype=np.int64)
     for layer, log_m in enumerate(range(log_max, log_stop, -1)):
         pair_idx = idx >> 1
@@ -399,10 +431,17 @@ def verify_query_fold(query_proof: FriQueryProof, proof: FriProof,
     """Single-query form: per-layer Merkle verification + fold values."""
     log_stop = fri_log_stop(config, log_max, min(ro_at_index) if ro_at_index
                             else log_max)
-    if len(proof.commit_phase_commits) != log_max - log_stop:
+    n_layers = log_max - log_stop
+    if len(proof.commit_phase_commits) != n_layers:
         raise FriError(
             f"wrong number of commit-phase layers: "
-            f"{len(proof.commit_phase_commits)} != {log_max - log_stop}"
+            f"{len(proof.commit_phase_commits)} != {n_layers}"
+        )
+    check_final_poly_shape(proof, config, log_stop)
+    if len(query_proof.commit_phase_openings) != n_layers:
+        raise FriError(
+            f"query proof has {len(query_proof.commit_phase_openings)} "
+            f"commit-phase openings, expected {n_layers}"
         )
     idx = index
     for layer, log_m in enumerate(range(log_max, log_stop, -1)):

@@ -57,6 +57,17 @@ class PcsProof:
     direct_polys: list = dataclasses.field(default_factory=list)
 
 
+def observe_direct_polys(challenger, direct_polys) -> None:
+    """Bind direct-opened coefficient matrices into the transcript (every
+    canonical u32, row-major, matrices in round-major order).  Called by
+    prover and verifier at the same transcript position: after the opened
+    values, before alpha — so the shipped coefficients are fixed before the
+    FRI query indices are sampled."""
+    for mat in direct_polys:
+        for v in np.asarray(mat, dtype=np.uint32).reshape(-1):
+            challenger.observe(int(v))
+
+
 class TwoAdicFriPcs:
     def __init__(self, config: FriConfig | None = None, coset_shift: int = bb.GENERATOR):
         self.config = config or FriConfig()
@@ -138,17 +149,11 @@ class TwoAdicFriPcs:
                 round_vals.append(mat_vals)
             opened_values.append(round_vals)
 
-        # 2. transcript: observe opened values, sample alpha
-        for round_vals in opened_values:
-            for mat_vals in round_vals:
-                for point_vals in mat_vals:
-                    for val in point_vals:
-                        challenger.observe_ext(val)
-        alpha = challenger.sample_ext()
-
-        # 3. reduced openings per LDE height (bitrev order, ext monty);
-        # tiny matrices are opened directly (full coefficients in the
-        # proof) and stay out of the FRI battery
+        # 2. direct-opened tiny matrices (round-major matrix order); their
+        # full coefficient vectors ship in the proof, so they MUST be bound
+        # into the transcript before alpha / the FRI query indices are
+        # sampled — otherwise a cheating prover picks them after seeing the
+        # queries and forges zeta openings
         threshold = frim.direct_open_threshold(config)
         log_max_all = max(
             lh + self.log_blowup
@@ -156,6 +161,25 @@ class TwoAdicFriPcs:
             for lh in data.log_heights
         )
         direct_polys = []
+        for data, _points in rounds:
+            for coeffs, lh in zip(data.coeffs, data.log_heights):
+                if frim.is_direct_mat(lh + self.log_blowup, log_max_all,
+                                      threshold):
+                    direct_polys.append(
+                        np.asarray(bb.from_monty(coeffs), dtype=np.uint32)
+                    )
+
+        # 3. transcript: observe opened values + direct polys, sample alpha
+        for round_vals in opened_values:
+            for mat_vals in round_vals:
+                for point_vals in mat_vals:
+                    for val in point_vals:
+                        challenger.observe_ext(val)
+        observe_direct_polys(challenger, direct_polys)
+        alpha = challenger.sample_ext()
+
+        # 4. reduced openings per LDE height (bitrev order, ext monty);
+        # direct matrices stay out of the FRI battery
         reduced = {}
         alpha_offset = 0
         for (data, points), round_vals in zip(rounds, opened_values):
@@ -165,9 +189,6 @@ class TwoAdicFriPcs:
                 w = int(lde.shape[1])
                 log_lde = int(lde.shape[0]).bit_length() - 1
                 if frim.is_direct_mat(log_lde, log_max_all, threshold):
-                    direct_polys.append(
-                        np.asarray(bb.from_monty(coeffs), dtype=np.uint32)
-                    )
                     continue
                 xp = xp_of(lde)
                 apows = extf.e_powers(alpha, alpha_offset + w)[alpha_offset:]
@@ -199,12 +220,12 @@ class TwoAdicFriPcs:
                 reduced[log_lde] = acc
                 alpha_offset += w
 
-        # 4. FRI
+        # 5. FRI
         fri_proof, query_indices = frim.fri_prove(
             reduced, config, self.shift, challenger
         )
 
-        # 5. input openings per query
+        # 6. input openings per query
         log_max = max(reduced)
         query_proofs = []
         for qi, idx in enumerate(query_indices):
@@ -233,12 +254,25 @@ class TwoAdicFriPcs:
         open_multi_batches."""
         config = self.config
 
-        for round_vals in opened_values:
-            for mat_vals in round_vals:
-                for point_vals in mat_vals:
-                    for val in point_vals:
-                        challenger.observe_ext(val)
-        alpha = challenger.sample_ext()
+        # structural validation up front: a malformed proof must fail with
+        # a typed FriError, never an IndexError/ValueError deeper in
+        if len(proof.query_proofs) != config.num_queries:
+            raise FriError(
+                f"wrong query count: {len(proof.query_proofs)} != "
+                f"{config.num_queries}"
+            )
+        if len(proof.fri.query_proofs) != config.num_queries:
+            raise FriError("wrong FRI query count")
+        for qp in proof.query_proofs:
+            if len(qp.input_openings) != len(rounds):
+                raise FriError("wrong input-opening round count")
+            for ri, rdims in enumerate(dims):
+                opening = qp.input_openings[ri]
+                if len(opening.opened_rows) != len(rdims):
+                    raise FriError("wrong opened-row count")
+                for (h, w), row in zip(rdims, opening.opened_rows):
+                    if len(np.asarray(row).reshape(-1)) != int(w):
+                        raise FriError("opened row width mismatch")
 
         log_max = max(
             (int(h).bit_length() - 1) + self.log_blowup
@@ -246,12 +280,10 @@ class TwoAdicFriPcs:
             for (h, _w) in rdims
         )
 
-        betas, indices = frim.fri_verify_challenges(
-            proof.fri, config, log_max, challenger
-        )
-
         # direct-opened tiny matrices: full coefficients ship in the proof;
-        # check the claimed zeta-side openings against them here, and the
+        # shape-validated and transcript-bound FIRST (before alpha and the
+        # FRI query indices — see observe_direct_polys), then the claimed
+        # zeta-side openings are checked against them here and the
         # commitment side per query below.  They carry no alpha powers and
         # no reduced opening.
         threshold = frim.direct_open_threshold(config)
@@ -271,6 +303,19 @@ class TwoAdicFriPcs:
                 direct[(ri, mi)] = coeffs
         if di != len(proof.direct_polys):
             raise FriError("unexpected extra direct-opened polynomials")
+
+        for round_vals in opened_values:
+            for mat_vals in round_vals:
+                for point_vals in mat_vals:
+                    for val in point_vals:
+                        challenger.observe_ext(val)
+        observe_direct_polys(challenger, proof.direct_polys)
+        alpha = challenger.sample_ext()
+
+        betas, indices = frim.fri_verify_challenges(
+            proof.fri, config, log_max, challenger
+        )
+
         for (ri, mi), coeffs in direct.items():
             for z, point_vals in zip(rounds[ri][1][mi], opened_values[ri][mi]):
                 zp = np.asarray(

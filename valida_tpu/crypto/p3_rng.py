@@ -139,16 +139,25 @@ class SipHasher:
 
 
 class SipRng:
-    """rand_seeder 0.2.3 SipRng (RECONSTRUCTED — see module docstring)."""
+    """rand_seeder 0.2.3 SipRng (RECONSTRUCTED — see module docstring).
 
-    def __init__(self, hasher: SipHasher):
+    The hasher->generator conversion is the one documented ambiguity in
+    this chain (the crate source is unavailable here), so the finalisation
+    marker byte is selectable: variant "ee" (default) uses the SipHash-128
+    keep-wide marker 0xEE, variant "ff" the SipHash-64 marker 0xFF.  Both
+    streams are pinned by KATs so matching the Rust output later is a flag
+    flip, not a code change (VERDICT r2 #5)."""
+
+    MARKERS = {"ee": 0xEE, "ff": 0xFF}
+
+    def __init__(self, hasher: SipHasher, variant: str = "ee"):
         v0, v1, v2, v3 = hasher.v
         b = ((hasher.length & 0xFF) << 56) | hasher.tail
         v3 ^= b
         for _ in range(hasher.c_rounds):
             v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
         v0 ^= b
-        v2 ^= 0xEE  # keep-wide finalisation marker (as in SipHash-128)
+        v2 ^= self.MARKERS[variant]
         for _ in range(hasher.d_rounds):
             v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
         self.v = (v0, v1, v2, v3)
@@ -210,13 +219,14 @@ class Pcg64:
         return self.next_u64() & 0xFFFFFFFF
 
 
-def seeder_pcg64(seed: str = "validia seed") -> Pcg64:
+def seeder_pcg64(seed: str = "validia seed",
+                 sip_variant: str = "ee") -> Pcg64:
     """``Seeder::from(seed).make_rng::<Pcg64>()``: SipHash-1-3 the string
     (rust str hashing), convert to SipRng, fill a 32-byte seed, and seed
     the Lcg128Xsl64."""
     h = SipHasher()
     h.hash_str(seed)
-    rng = SipRng(h)
+    rng = SipRng(h, variant=sip_variant)
     return Pcg64.from_seed(rng.fill_bytes(32))
 
 
@@ -232,14 +242,16 @@ def sample_babybear(rng: Pcg64) -> int:
 
 
 def poseidon_round_constants(n: int, seed: str = "validia seed",
-                             interpret: str = "monty") -> list[int]:
+                             interpret: str = "monty",
+                             sip_variant: str = "ee") -> list[int]:
     """First n BabyBear round constants of the reference stream, as
     CANONICAL ints.
 
     interpret="monty": the sampled u31 is the Montgomery residue (p3
     BabyBear post-Monty-refactor) -> canonical = value * 2^-32 mod p.
-    interpret="canonical": the sampled u31 is the canonical value."""
-    rng = seeder_pcg64(seed)
+    interpret="canonical": the sampled u31 is the canonical value.
+    sip_variant: SipRng conversion marker ("ee" | "ff" — see SipRng)."""
+    rng = seeder_pcg64(seed, sip_variant=sip_variant)
     raw = [sample_babybear(rng) for _ in range(n)]
     if interpret == "canonical":
         return raw
@@ -248,20 +260,26 @@ def poseidon_round_constants(n: int, seed: str = "validia seed",
     return [x * rinv % bb.P for x in raw]
 
 
-def coset_mds_matrix(width: int = 16) -> list[list[int]]:
+def coset_mds_matrix(width: int = 16,
+                     orientation: str = "mj") -> list[list[int]]:
     """``CosetMds::<BabyBear, W>::default()`` as an explicit matrix.
 
     p3-mds CosetMds: unscaled inverse DFT over the order-W subgroup H,
     scale coefficient k by shift^k (shift = BabyBear generator 31),
     forward DFT — i.e. N * (evaluations over 31*H of the interpolant).
     Closed form: M[m][j] = sum_k (31 * w^(m-j))^k = (31^W - 1) /
-    (31 * w^(m-j) - 1), w = two_adic_generator(log2 W)."""
+    (31 * w^(m-j) - 1), w = two_adic_generator(log2 W).
+
+    orientation: "mj" (default, exponent m-j) or "jm" (the transpose,
+    exponent j-m) — the row/column convention of the matvec is the third
+    documented transcript ambiguity; both are pinned by KATs."""
     log_n = width.bit_length() - 1
     assert 1 << log_n == width
     w = bb.two_adic_generator(log_n)
     s = bb.GENERATOR
     num = (pow(s, width, bb.P) - 1) % bb.P
-    return [
+    assert orientation in ("mj", "jm"), orientation
+    mat = [
         [
             num * pow((s * pow(w, (m - j) % width, bb.P) - 1) % bb.P,
                       bb.P - 2, bb.P) % bb.P
@@ -269,3 +287,26 @@ def coset_mds_matrix(width: int = 16) -> list[list[int]]:
         ]
         for m in range(width)
     ]
+    if orientation == "jm":
+        mat = [list(row) for row in zip(*mat)]
+    return mat
+
+
+# the 2 (interpret) x 2 (sip_variant) x 2 (mds orientation) = 8 candidate
+# parameter streams, addressable as "<interpret>-<sip>-<mds>"
+P3RNG_VARIANTS = [
+    f"{interp}-{sip}-{mds}"
+    for interp in ("monty", "canonical")
+    for sip in ("ee", "ff")
+    for mds in ("mj", "jm")
+]
+P3RNG_DEFAULT_VARIANT = "monty-ee-mj"
+
+
+def p3rng_params(n_constants: int, variant: str = P3RNG_DEFAULT_VARIANT,
+                 width: int = 16, seed: str = "validia seed"):
+    """(round_constants, mds_matrix) for one of the 8 candidate streams."""
+    interp, sip, mds = variant.split("-")
+    rc = poseidon_round_constants(n_constants, seed=seed, interpret=interp,
+                                  sip_variant=sip)
+    return rc, coset_mds_matrix(width, orientation=mds)

@@ -70,13 +70,17 @@ PARAM_SET = _os.environ.get("VALIDA_TPU_POSEIDON", "sha256")
 
 
 def _build_params(param_set: str):
-    if param_set == "p3rng":
-        from .p3_rng import coset_mds_matrix, poseidon_round_constants
+    if param_set == "p3rng" or param_set.startswith("p3rng:"):
+        # "p3rng" or "p3rng:<interpret>-<sip>-<mds>" — one of the 8
+        # candidate reference streams (p3_rng.P3RNG_VARIANTS); matching
+        # the Rust verifier later is a variant flip, not a code change
+        from .p3_rng import P3RNG_DEFAULT_VARIANT, p3rng_params
 
-        rc = np.array(
-            poseidon_round_constants(NUM_ROUNDS * WIDTH), dtype=np.uint64
-        ).reshape(NUM_ROUNDS, WIDTH)
-        mds = np.array(coset_mds_matrix(WIDTH), dtype=np.uint64)
+        variant = (param_set.split(":", 1)[1] if ":" in param_set
+                   else P3RNG_DEFAULT_VARIANT)
+        rc_list, mds_list = p3rng_params(NUM_ROUNDS * WIDTH, variant, WIDTH)
+        rc = np.array(rc_list, dtype=np.uint64).reshape(NUM_ROUNDS, WIDTH)
+        mds = np.array(mds_list, dtype=np.uint64)
         return rc, mds
     assert param_set == "sha256", param_set
     rc = np.array(
@@ -131,6 +135,23 @@ _RC_MONTY = ((ROUND_CONSTANTS.astype(np.uint64) << 32) % np.uint64(bb.P)).astype
     np.uint32
 )
 _MDS_MONTY = ((MDS.astype(np.uint64) << 32) % np.uint64(bb.P)).astype(np.uint32)
+
+
+def set_param_set(name: str) -> None:
+    """Switch the active constant provenance at runtime (CLI --poseidon).
+    Must run before any device tracing — jitted closures capture the
+    constant arrays at trace time."""
+    global PARAM_SET, ROUND_CONSTANTS, MDS, _RC_MONTY, _MDS_MONTY
+    if name == PARAM_SET:
+        return
+    PARAM_SET = name
+    ROUND_CONSTANTS, MDS = _build_params(name)
+    _RC_MONTY = (
+        (ROUND_CONSTANTS.astype(np.uint64) << 32) % np.uint64(bb.P)
+    ).astype(np.uint32)
+    _MDS_MONTY = ((MDS.astype(np.uint64) << 32) % np.uint64(bb.P)).astype(
+        np.uint32
+    )
 
 
 def _d_sbox(x):

@@ -40,7 +40,8 @@ from ..air.quotient import (
 )
 from ..air.lookup import generate_permutation_trace
 from ..commit import fri as frim
-from ..commit.pcs import PcsProof, PcsQueryProof, BatchOpening
+from ..commit.pcs import (PcsProof, PcsQueryProof, BatchOpening,
+                          observe_direct_polys)
 from ..core.proof import MachineProof, Commitments, ChipProof, OpenedValues
 
 
@@ -934,12 +935,12 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
             return tuple(shapes_of(x) for x in a)
         return tuple(a.shape)
 
-    def compile_one(job):
-        fn, args = job
+    def compile_one(ij):
+        i, (fn, args) = ij
         if log_progress:
             import time as _time
 
-            print(f"[warmup {jobs.index(job)+1}/{len(jobs)}] "
+            print(f"[warmup {i+1}/{len(jobs)}] "
                   f"{_time.strftime('%H:%M:%S')} args={shapes_of(args)}",
                   file=sys.stderr, flush=True)
         if dry:  # signature check only (tests): abstract evaluation
@@ -957,11 +958,11 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
     elif jax.default_backend() != "cpu":
         threads = 1
     if threads <= 1:
-        for job in jobs:
-            compile_one(job)
+        for ij in enumerate(jobs):
+            compile_one(ij)
     else:
         with ThreadPoolExecutor(max_workers=threads) as ex:
-            list(ex.map(compile_one, jobs))
+            list(ex.map(compile_one, enumerate(jobs)))
     return len(jobs)
 
 
@@ -1232,6 +1233,9 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         for point_vals in mat_vals:
             for val in point_vals:
                 challenger.observe_ext(val)
+    # bind direct-opened coefficients before alpha / query sampling
+    # (transcript position matches pcs.open_multi_batches / verify)
+    observe_direct_polys(challenger, direct_polys)
     alpha_fri = challenger.sample_ext()
     alpha_fri_m = bb.to_monty(jnp.asarray(np.array(alpha_fri, dtype=np.uint32)))
 

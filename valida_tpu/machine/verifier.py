@@ -20,16 +20,56 @@ from ..commit.fri import FriError
 
 
 class VerificationError(Exception):
-    pass
+    """Base verification failure (mirrors the reference taxonomy,
+    `/root/reference/machine/src/error.rs:3-71`)."""
+
+
+class ProofShapeError(VerificationError):
+    """Structurally malformed proof: wrong list lengths / widths / chip
+    count (reference `ProofShapeError`/`InvalidProofShape`)."""
+
+
+class InvalidOpeningArgument(VerificationError):
+    """The PCS/FRI opening proof failed (reference
+    `InvalidOpeningArgument`)."""
+
+
+class OodEvaluationMismatch(VerificationError):
+    """constraints(zeta) != Z_H(zeta)*quotient(zeta) (reference
+    `OodEvaluationMismatch`)."""
+
+
+class NonZeroCumulativeSum(VerificationError):
+    """Global bus imbalance (reference checks sum of cumulative sums)."""
 
 
 def verify(machine, config, proof: MachineProof) -> None:
+    """Verify `proof`.  Raises a `VerificationError` subclass on any
+    failure; a structurally malformed proof raises `ProofShapeError`
+    (the final except clause guarantees shape-induced crashes anywhere in
+    the pipeline surface as the typed error, mirroring the reference's
+    Result-based taxonomy rather than a panic)."""
+    try:
+        _verify_inner(machine, config, proof)
+    except VerificationError:
+        raise
+    except (IndexError, ValueError, TypeError, KeyError, AttributeError) as e:
+        raise ProofShapeError(f"malformed proof: {type(e).__name__}: {e}") \
+            from e
+
+
+def _verify_inner(machine, config, proof: MachineProof) -> None:
     chips = machine.chips()
     pcs = config.pcs
     challenger = config.challenger()
 
     if len(proof.chip_proofs) != len(chips):
-        raise VerificationError("chip count mismatch")
+        raise ProofShapeError("chip count mismatch")
+    for cp in proof.chip_proofs:
+        if not (0 <= int(cp.log_degree) <= 27):
+            raise ProofShapeError("log_degree out of range")
+        if len(tuple(cp.cumulative_sum)) != 5:
+            raise ProofShapeError("cumulative sum is not an ext element")
 
     log_quotient_degrees = [get_log_quotient_degree(machine, c) for c in chips]
     log_degrees = [cp.log_degree for cp in proof.chip_proofs]
@@ -79,7 +119,7 @@ def verify(machine, config, proof: MachineProof) -> None:
         if ci in prep_indices:
             p = prep_traces[ci]
             if p.shape[0] != h:
-                raise VerificationError(
+                raise ProofShapeError(
                     f"chip {chip.name}: preprocessed height mismatch"
                 )
             prep_dims.append((h, int(p.shape[1])))
@@ -92,7 +132,7 @@ def verify(machine, config, proof: MachineProof) -> None:
             (len(ov.quotient_chunks), (1 << log_quotient_degrees[ci]) * 5),
         ]
         if any(a != b for a, b in expect):
-            raise VerificationError(f"chip {chip.name}: opened shape mismatch")
+            raise ProofShapeError(f"chip {chip.name}: opened shape mismatch")
 
     zeta_next = [extf.e_mul(zeta, extf.e_from_base(g)) for g in g_subgroups]
     main_points = [[zeta, zn] for zn in zeta_next]
@@ -138,7 +178,7 @@ def verify(machine, config, proof: MachineProof) -> None:
         pcs.verify_multi_batches(rounds, dims, opened_values, proof.opening_proof,
                                  challenger)
     except FriError as e:
-        raise VerificationError(f"opening proof invalid: {e}") from e
+        raise InvalidOpeningArgument(f"opening proof invalid: {e}") from e
 
     # -- out-of-domain constraint check per chip ----------------------------
     for ci, (chip, cp) in enumerate(zip(chips, proof.chip_proofs)):
@@ -153,7 +193,8 @@ def verify(machine, config, proof: MachineProof) -> None:
     for cp in proof.chip_proofs:
         total = extf.e_add(total, tuple(cp.cumulative_sum))
     if total != extf.E_ZERO:
-        raise VerificationError("nonzero global cumulative sum (bus imbalance)")
+        raise NonZeroCumulativeSum(
+            "nonzero global cumulative sum (bus imbalance)")
 
 
 def _unflatten(vals):
@@ -221,6 +262,6 @@ def verify_constraints(machine, chip, opened_values, cumulative_sum,
         zp = extf.e_mul(zp, zeta)
 
     if folded != extf.e_mul(z_h, quotient):
-        raise VerificationError(
+        raise OodEvaluationMismatch(
             f"chip {chip.name}: OOD evaluation mismatch"
         )

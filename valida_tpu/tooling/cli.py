@@ -57,7 +57,18 @@ def main(argv=None):
                              "polynomial instead of folding to a constant "
                              "(prove and verify must agree)")
     parser.add_argument("--no-debug-checks", action="store_true")
+    parser.add_argument("--poseidon", default=None, metavar="SET",
+                        help="challenger constant provenance: sha256 "
+                             "(default), p3rng, or p3rng:<interpret>-<sip>-"
+                             "<mds> selecting one of the 8 candidate "
+                             "reference streams (e.g. p3rng:monty-ee-mj); "
+                             "prove and verify must agree")
     args = parser.parse_args(argv)
+
+    if args.poseidon:
+        from ..crypto import poseidon
+
+        poseidon.set_param_set(args.poseidon)
 
     if args.action == "asm":
         with open(args.program) as f:

@@ -41,12 +41,27 @@ def _targets():
 
 def install() -> int:
     """Copy repo-shipped cache entries into the live cache dirs (skipping
-    files already present).  Returns the number of files installed."""
+    files already present).  Returns the number of files installed.
+
+    Stage-cache blobs (jax.export'd StableHLO) are host-portable and
+    copied flat.  XLA AOT entries are NOT portable across CPU feature
+    sets; they live under a `cpu-<fingerprint>` subdir (see
+    backend._host_cpu_fingerprint) and are installed only when the baked
+    fingerprint matches this host — a mismatch means the entries simply
+    miss and the stages recompile, never a SIGILL."""
+    from ..backend import _host_cpu_fingerprint
+
     n = 0
     for sub, dst in _targets().items():
         src = os.path.join(PREBAKED_DIR, sub)
         if not os.path.isdir(src):
             continue
+        if sub == "xla":
+            fp = f"cpu-{_host_cpu_fingerprint()}"
+            src = os.path.join(src, fp)
+            dst = os.path.join(dst, fp)
+            if not os.path.isdir(src):
+                continue
         os.makedirs(dst, exist_ok=True)
         for name in os.listdir(src):
             s = os.path.join(src, name)
@@ -74,13 +89,13 @@ def bake(n_devices: int = 8) -> None:
         "print('bake ok')" % (_REPO, n_devices)
     )
     subprocess.run([sys.executable, "-c", code], env=env, check=True)
-    sizes = {
-        sub: sum(
-            os.path.getsize(os.path.join(PREBAKED_DIR, sub, f))
-            for f in os.listdir(os.path.join(PREBAKED_DIR, sub))
-        )
-        for sub in ("stages", "xla")
-    }
+    sizes = {}
+    for sub in ("stages", "xla"):
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(PREBAKED_DIR, sub)):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        sizes[sub] = total
     print("baked:", {k: f"{v/1e6:.1f}MB" for k, v in sizes.items()})
 
 
