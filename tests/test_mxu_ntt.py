@@ -96,3 +96,33 @@ def test_mxu_i8_worst_case_digits(monkeypatch):
     ref = nttm.dif(x)
     got = np.asarray(mxu_ntt.dif(jnp.asarray(x)))
     assert (ref == got).all()
+
+
+@pytest.mark.skipif(
+    __import__("jax").default_backend() not in ("tpu", "axon"),
+    reason="megakernel uses manual HBM DMA (Ref.reshape) that interpret "
+           "mode does not discharge; compiled Mosaic only",
+)
+@pytest.mark.parametrize("log_n,cols,inv", [(14, 128, False), (15, 128, True),
+                                            (16, 256, False)])
+def test_mega_pallas_bit_identical_on_device(monkeypatch, log_n, cols, inv):
+    """One-pallas-call megakernel (r3 headline kernel) vs the per-step
+    pipeline: bit-identical for forward/inverse, radix remainders, and
+    multi-of-128 widths."""
+    monkeypatch.setenv("VALIDA_TPU_MXU_NTT", "1")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(
+        rng.integers(0, bb.P, size=(1 << log_n, cols), dtype=np.uint32)
+    )
+    monkeypatch.setenv("VALIDA_TPU_NTT_MEGA", "0")
+    want = np.asarray(mxu_ntt.dif(x, inverse=inv))
+    got = np.asarray(mxu_ntt._mega_pallas(x, log_n, inv, cols))
+    assert (want == got).all()
+
+
+def test_mega_supported_predicate():
+    assert mxu_ntt._mega_supported(14, 128)
+    assert mxu_ntt._mega_supported(19, 256)
+    assert not mxu_ntt._mega_supported(13, 128)  # < 2 full steps
+    assert not mxu_ntt._mega_supported(19, 64)   # lane tile violation
+    assert not mxu_ntt._mega_supported(19, 120)

@@ -429,6 +429,223 @@ def _tail_pallas(a, blocks: int, inverse: bool, rest_n: int):
 
 
 # ---------------------------------------------------------------------------
+# Megakernel: the whole transform as ONE pallas call
+# ---------------------------------------------------------------------------
+#
+# The per-`pallas_call` dispatch cost on the tunneled TPU backend is ~3 ms
+# regardless of data size (measured round 3: 24 calls in one jit = 77 ms,
+# 3 calls = 12 ms, a trivial 128 MB grid kernel = the same ~6 ms as the
+# real step).  A 3-step transform therefore pays ~9 ms of fixed tax on
+# ~4 ms of real streaming work.  This kernel runs EVERY step inside one
+# pallas program: manual double-buffered DMA between HBM and VMEM, with
+# per-step 2D strided views of the ping-pong HBM buffers via Ref.reshape.
+# Step compute is the same exact modular-matmul + twiddle pipeline as
+# _step_pallas/_tail_pallas (bit-identical outputs, tested).
+
+
+def _mega_tm(m4: int, rest_n: int, cap: int = 2048) -> int:
+    """Twiddle-tile rows per chunk: power of two dividing m4 with
+    tm*rest_n <= cap lanes (512 KB chunks at u32)."""
+    tm = 1
+    while tm * 2 <= m4 and tm * 2 * rest_n <= cap:
+        tm *= 2
+    return tm
+
+
+def _mega_supported(log_n: int, rest_n: int) -> bool:
+    # >= 2 full steps; Mosaic requires every DMA'd lane extent to be a
+    # multiple of the 128-lane tile, so the megakernel serves matrices
+    # whose (flattened) width is a multiple of 128 — callers batch
+    # columns to hit this (the per-step pipeline covers the rest)
+    return log_n >= 2 * _LOG_B and rest_n % 128 == 0 and rest_n <= 2048
+
+
+def _mega_pallas(a, log_n: int, inverse: bool, rest_n: int):
+    """Natural-in, bitrev-out DIF over axis 0 as ONE pallas call.
+
+    a: [n, rest_n] uint32 (Montgomery).  Bit-identical to the step-loop
+    path (same matmul tables, same twiddles, same fold arithmetic).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = 1 << log_n
+    schedule = _radix_schedule(log_n)
+    k_steps = len(schedule)
+    dots = _limb_dots_i8 if _use_i8() else _limb_dots
+    k1, k2, k3 = _fold_consts()
+
+    # static per-step plans + host tables
+    plans = []
+    tables = []  # flat list of device-input tables (limbs, tw, limbs, ...)
+    blocks, log_len = 1, log_n
+    tb_tail = max(1, min(16, 2048 // rest_n))
+    for si, radix_log in enumerate(schedule):
+        last = si == k_steps - 1
+        if last:
+            _, limbs = _dots_and_tables(inverse)
+            plans.append(("tail", blocks, None, None, len(tables), None))
+            tables.append(limbs)
+        else:
+            m4 = 1 << (log_len - _LOG_B)
+            _, limbs = _dots_and_tables(inverse, log_len, radix_log)
+            tw = _step_twiddles(log_len, inverse, radix_log)
+            tm = _mega_tm(m4, rest_n)
+            plans.append(("step", blocks, m4, tm, len(tables),
+                          len(tables) + 1))
+            tables.append(limbs)
+            tables.append(tw)
+        blocks <<= radix_log
+        log_len -= radix_log
+
+    max_tmc = max(
+        (p[3] * rest_n for p in plans if p[0] == "step"), default=0
+    )
+    tail_rows = tb_tail * _B
+
+    def kernel(x_ref, *rest):
+        table_refs = rest[:len(tables)]
+        out_ref, scr_ref = rest[len(tables):]
+
+        def run_step(src_ref, dst_ref, plan, in_s, out_s, in_sem, out_sem):
+            kind, blocks_, m4, tm, li, ti = plan
+            limbs_ref = table_refs[li]
+            if kind == "tail":
+                rows = tail_rows
+                n_chunks = n // rows
+                src2 = src_ref.reshape(n, rest_n)
+                dst2 = dst_ref.reshape(n, rest_n)
+
+                def in_dma(slot, c):
+                    return pltpu.make_async_copy(
+                        src2.at[pl.ds(c * rows, rows)],
+                        in_s.at[slot, :rows], in_sem.at[slot])
+
+                def out_dma(slot, c):
+                    return pltpu.make_async_copy(
+                        out_s.at[slot, :rows],
+                        dst2.at[pl.ds(c * rows, rows)], out_sem.at[slot])
+
+                def compute(slot):
+                    for j in range(tb_tail):
+                        r0 = j * _B
+                        out_s[slot, r0:r0 + _B, :] = dots(
+                            in_s[slot, r0:r0 + _B, :], limbs_ref, k1, k2, k3
+                        )
+            else:
+                tmc = tm * rest_n
+                tiles = m4 // tm
+                n_chunks = blocks_ * tiles
+                tw_ref = table_refs[ti]
+                src2 = src_ref.reshape(blocks_ * _B, m4 * rest_n)
+                dst2 = dst_ref.reshape(blocks_ * _B, m4 * rest_n)
+
+                def in_dma(slot, c):
+                    b, t = c // tiles, c % tiles
+                    return pltpu.make_async_copy(
+                        src2.at[pl.ds(b * _B, _B), pl.ds(t * tmc, tmc)],
+                        in_s.at[slot, :_B, :tmc], in_sem.at[slot])
+
+                def out_dma(slot, c):
+                    b, t = c // tiles, c % tiles
+                    return pltpu.make_async_copy(
+                        out_s.at[slot, :_B, :tmc],
+                        dst2.at[pl.ds(b * _B, _B), pl.ds(t * tmc, tmc)],
+                        out_sem.at[slot])
+
+                def compute(slot, c):
+                    t = c % tiles
+                    y = dots(in_s[slot, :_B, :tmc], limbs_ref, k1, k2, k3)
+                    # per-twiddle-row broadcast multiply; rest_n >= 128
+                    # lanes so each op runs at full lane width
+                    for tl in range(tm):
+                        sl = slice(tl * rest_n, (tl + 1) * rest_n)
+                        row = tw_ref[t * tm + tl, :]  # [128] monty
+                        out_s[slot, :_B, sl] = bb.mul(y[:, sl], row[:, None])
+
+            in_dma(0, 0).start()
+
+            def loop(c, _):
+                cur = jax.lax.rem(c, 2)
+                nxt = jax.lax.rem(c + 1, 2)
+
+                @pl.when(c + 1 < n_chunks)
+                def _():
+                    in_dma(nxt, c + 1).start()
+
+                in_dma(cur, c).wait()
+
+                @pl.when(c >= 2)
+                def _():
+                    out_dma(cur, c - 2).wait()
+
+                if kind == "tail":
+                    compute(cur)
+                else:
+                    compute(cur, c)
+                out_dma(cur, c).start()
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, loop, 0, unroll=False)
+            if n_chunks >= 2:
+                out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+            out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+        def body(in_s, out_s, tin_s, tout_s, in_sem, out_sem):
+            for si, plan in enumerate(plans):
+                # target: final out for the last step, alternating before
+                dst = out_ref if (k_steps - 1 - si) % 2 == 0 else scr_ref
+                src = x_ref if si == 0 else (
+                    out_ref if (k_steps - si) % 2 == 0 else scr_ref
+                )
+                if plan[0] == "tail":
+                    run_step(src, dst, plan, tin_s, tout_s, in_sem, out_sem)
+                else:
+                    run_step(src, dst, plan, in_s, out_s, in_sem, out_sem)
+
+        scratch = dict(
+            in_sem=pltpu.SemaphoreType.DMA((2,)),
+            out_sem=pltpu.SemaphoreType.DMA((2,)),
+        )
+        if max_tmc:
+            scratch["in_s"] = pltpu.VMEM((2, _B, max_tmc), jnp.uint32)
+            scratch["out_s"] = pltpu.VMEM((2, _B, max_tmc), jnp.uint32)
+        else:  # tail-only schedules never reach here (log_n >= 14)
+            scratch["in_s"] = pltpu.VMEM((2, 8, 128), jnp.uint32)
+            scratch["out_s"] = pltpu.VMEM((2, 8, 128), jnp.uint32)
+        scratch["tin_s"] = pltpu.VMEM((2, tail_rows, rest_n), jnp.uint32)
+        scratch["tout_s"] = pltpu.VMEM((2, tail_rows, rest_n), jnp.uint32)
+
+        pl.run_scoped(
+            lambda in_s, out_s, tin_s, tout_s, in_sem, out_sem: body(
+                in_s, out_s, tin_s, tout_s, in_sem, out_sem),
+            in_s=scratch["in_s"], out_s=scratch["out_s"],
+            tin_s=scratch["tin_s"], tout_s=scratch["tout_s"],
+            in_sem=scratch["in_sem"], out_sem=scratch["out_sem"],
+        )
+
+    out, _scr = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_shape=[jax.ShapeDtypeStruct((n, rest_n), jnp.uint32),
+                   jax.ShapeDtypeStruct((n, rest_n), jnp.uint32)],
+        interpret=_interpret(),
+    )(a.reshape(n, rest_n), *tables)
+    return out
+
+
+def _use_mega() -> bool:
+    """One-call megakernel by default on TPU; VALIDA_TPU_NTT_MEGA=0 forces
+    the per-step pallas pipeline."""
+    import os
+
+    return os.environ.get("VALIDA_TPU_NTT_MEGA", "1") == "1"
+
+
+# ---------------------------------------------------------------------------
 # Plain-XLA fallback (CPU jax; also the reference for kernel tests)
 # ---------------------------------------------------------------------------
 
@@ -513,6 +730,12 @@ def dif(a, inverse: bool = False):
         a = jnp.concatenate(
             [a, jnp.zeros((n, r_run - rest_n), dtype=a.dtype)], axis=1
         )
+
+    if use_pallas and _use_mega() and _mega_supported(log_n, r_run):
+        out = _mega_pallas(a, log_n, inverse, r_run)
+        if padded:
+            out = out[:, :rest_n]
+        return out.reshape((n,) + rest)
 
     blocks = 1
     log_len = log_n
