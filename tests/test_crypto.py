@@ -107,3 +107,48 @@ def test_challenger_grind_check():
     v = c.clone()
     w = c.grind(6)
     assert v.check_witness(6, w)
+
+
+def test_keccak_pallas_interpret_bit_identical(monkeypatch):
+    """The batch-in-lanes pallas keccak (r3, VERDICT r2 #7) against the
+    XLA lane-axis path, exact kernel code in interpret mode.  Tiny
+    program batch keeps the ~7k-op interpreted kernel affordable."""
+    import os
+
+    if os.environ.get("VALIDA_TPU_SLOW_TESTS", "0") != "1":
+        import pytest
+
+        pytest.skip("interpreted 24-round kernel is slow; "
+                    "set VALIDA_TPU_SLOW_TESTS=1")
+    monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setattr(keccak, "_PB", 8)
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 32, size=(8, 51), dtype=np.uint32)
+    want = np.asarray(keccak.keccak256_words(x))  # numpy path
+    got = np.asarray(keccak._keccak_pallas(jnp.asarray(x)))
+    assert np.array_equal(want, got)
+
+
+def test_keccak_pallas_device_bit_identical():
+    """Compiled-Mosaic pallas keccak vs the host path (device only)."""
+    import jax
+    import pytest
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a TPU backend")
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 1 << 32, size=(4096, 64), dtype=np.uint32)
+    want = np.asarray(keccak.keccak256_words(x))
+    got = np.asarray(keccak._keccak_pallas(jnp.asarray(x)))
+    assert np.array_equal(want, got)
+
+
+def test_keccak_pallas_padding_and_dispatch(monkeypatch):
+    """Batch padding (non-multiple of _PB) and the dispatch predicate."""
+    monkeypatch.setattr(keccak, "_PB", 8)
+    assert not keccak._pallas_batch_ok(8)  # CPU backend: no pallas
+    monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    assert keccak._pallas_batch_ok(16)
+    assert not keccak._pallas_batch_ok(15)
+    monkeypatch.setenv("VALIDA_TPU_KECCAK_PALLAS", "0")
+    assert not keccak._pallas_batch_ok(1 << 20)

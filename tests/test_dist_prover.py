@@ -51,3 +51,36 @@ def test_dist_prove_bit_identical_8_devices():
     m2 = random_mini_machine(1024, seed=3)
     p_single = prove_jit(m2, config)
     assert serialize_proof(p_dist) == serialize_proof(p_single)
+
+
+def _run_fib_machine():
+    from valida_tpu.core.advice import FixedAdviceProvider
+    from valida_tpu.core.program import ProgramROM
+    from valida_tpu.machine.basic import BasicMachine
+    from tests.test_basic_machine import fib_program
+
+    m = BasicMachine()
+    m.program().set_program_rom(ProgramROM(fib_program()))
+    m.cpu().fp = 0x1000
+    m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
+    m.run(advice=FixedAdviceProvider.empty())
+    return m
+
+
+@pytest.mark.skipif(not SLOW, reason="set VALIDA_TPU_SLOW_TESTS=1")
+def test_dist_prove_full_basic_machine_bit_identical():
+    """VERDICT r2 #4: the FULL 14-chip BasicMachine (heterogeneous trace
+    heights, preprocessed matrices, a 1-row static-data trace, 16 buses)
+    proved under a mesh, byte-identical to the single-device proof."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(4, dp=1)
+    config = test_config(debug_checks=False)
+
+    m = _run_fib_machine()
+    p_dist = prove_jit(m, config, mesh=mesh)
+    m.verify(config, p_dist)
+
+    m2 = _run_fib_machine()
+    p_single = prove_jit(m2, config)
+    assert serialize_proof(p_dist) == serialize_proof(p_single)
