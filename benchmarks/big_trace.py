@@ -95,23 +95,36 @@ def main():
     m.verify(config, proof)
     t_verify = time.perf_counter() - t0
 
-    print(
-        json.dumps(
-            {
-                "metric": "alu_isa_trace_prove",
-                "cycles": m.cpu().clock,
-                "backend": backend_name,
-                "queries": queries,
-                "log_final": log_final,
-                "run_s": t_run,
-                "warmup_s": t_warmup,
-                "value": t_prove,
-                "unit": "s",
-                "verify_s": t_verify,
-                "cycles_per_s": m.cpu().clock / t_prove,
-            }
+    from valida_tpu.tooling.serde import serialize_proof
+
+    out = {
+        "metric": "alu_isa_trace_prove",
+        "cycles": m.cpu().clock,
+        "backend": backend_name,
+        "queries": queries,
+        "log_final": log_final,
+        "run_s": t_run,
+        "warmup_s": t_warmup,
+        "value": t_prove,
+        "unit": "s",
+        "verify_s": t_verify,
+        "cycles_per_s": m.cpu().clock / t_prove,
+        "proof_bytes": len(serialize_proof(proof)),
+    }
+    if backend_name == "jax":
+        # VERDICT r2 #8: host->device transfer accounting — the op-log
+        # materialization ships compact op logs instead of full traces
+        from valida_tpu.machine.jit_prover import transfer_stats
+
+        out["transfer_bytes"] = transfer_stats["bytes"]
+        out["transfer_full_trace_bytes"] = transfer_stats["trace_bytes"]
+        # what a host-built prover would have shipped: every padded main
+        # trace at 4 B/cell
+        out["main_trace_bytes"] = sum(
+            (1 << cp.log_degree) * chip.width() * 4
+            for chip, cp in zip(m.chips(), proof.chip_proofs)
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

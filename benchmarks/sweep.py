@@ -96,6 +96,8 @@ def bench_fib_prove():
     t0 = time.perf_counter()
     m.verify(config, proof)
     dv = time.perf_counter() - t0
+    from valida_tpu.tooling.serde import serialize_proof
+
     return {
         "metric": "fib25_prove_wallclock",
         "backend": "numpy-host",
@@ -103,6 +105,7 @@ def bench_fib_prove():
         "value": dt,
         "unit": "s",
         "verify_s": dv,
+        "proof_bytes": len(serialize_proof(proof)),
     }
 
 

@@ -82,3 +82,11 @@ def test_fib_prove_verify():
     config = test_config()
     proof = m.prove(config)
     m.verify(config, proof)
+    # proof-size regression guard (VERDICT r2 #9): the fib(25) proof at
+    # the test config is 60,201 B today; reference-config (40 queries)
+    # sizes are recorded in BENCH_WORKLOADS.md.  A structural change
+    # that bloats the proof stream should trip this.
+    from valida_tpu.tooling.serde import serialize_proof
+
+    n_bytes = len(serialize_proof(proof))
+    assert n_bytes < 70_000, f"fib test-config proof grew to {n_bytes} B"
