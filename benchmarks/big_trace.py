@@ -90,6 +90,17 @@ def main():
         proof = m.prove(config)
     t_prove = time.perf_counter() - t0
 
+    # steady-state wall-clock: a second prove in-process hits every
+    # in-memory jit cache — first-call tracing/compiles (one-time per
+    # source version, amortized by the persistent caches) excluded
+    t_prove2 = None
+    if backend_name == "jax" and os.environ.get(
+            "VALIDA_TPU_BENCH_REPEAT", "1") != "0":
+        t0 = time.perf_counter()
+        proof2 = prove_jit(m, config)
+        t_prove2 = time.perf_counter() - t0
+        del proof2
+
     backend.set_backend("numpy")
     t0 = time.perf_counter()
     m.verify(config, proof)
@@ -105,10 +116,12 @@ def main():
         "log_final": log_final,
         "run_s": t_run,
         "warmup_s": t_warmup,
-        "value": t_prove,
+        "value": t_prove2 if t_prove2 is not None else t_prove,
         "unit": "s",
+        "first_prove_s": t_prove,
         "verify_s": t_verify,
-        "cycles_per_s": m.cpu().clock / t_prove,
+        "cycles_per_s": m.cpu().clock / (
+            t_prove2 if t_prove2 is not None else t_prove),
         "proof_bytes": len(serialize_proof(proof)),
     }
     if backend_name == "jax":

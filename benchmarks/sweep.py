@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def bench_lde_merkle(log_rows, cols, hasher, iters=3):
+def bench_lde_merkle(log_rows, cols, hasher, iters=3, split=False):
     import jax
     import jax.numpy as jnp
     from valida_tpu.field import babybear as bb
@@ -34,16 +34,34 @@ def bench_lde_merkle(log_rows, cols, hasher, iters=3):
     h = get_hasher(hasher)
     n = 1 << log_rows
 
-    def commit(mat):
+    def lde_rows(mat):
+        # out_bitrev: the commit hashes bitrev-ordered rows (as the PCS
+        # does), and the dif path runs the fused pallas/MXU kernels with
+        # a fraction of the dit stage-loop's HLO temps (the r3 2^22
+        # poseidon2 OOM was the dit path's padded 5D stage copies)
         m = bb.to_monty(mat)
-        lde = nttm.coset_lde(m, 1, bb.GENERATOR)
-        rows = bb.from_monty(lde[bitrev_indices(log_rows + 1)])
+        lde_rev = nttm.coset_lde(m, 1, bb.GENERATOR, out_bitrev=True)
+        return bb.from_monty(lde_rev)
+
+    def tree_root(rows):
         d = h.hash_words(rows)
         while d.shape[0] > 1:
             d = h.hash_words(jnp.concatenate([d[0::2], d[1::2]], axis=1))
         return d[0]
 
-    f = jax.jit(commit)
+    def commit(mat):
+        return tree_root(lde_rows(mat))
+
+    if split:
+        # two dispatches: halves the single-program HLO-temp peak (the
+        # fused commit OOMs at 2^22 x 64 on the 16 GB chip)
+        lde_f = jax.jit(lde_rows)
+        tree_f = jax.jit(tree_root)
+
+        def f(mat):
+            return tree_f(lde_f(mat))
+    else:
+        f = jax.jit(commit)
 
     # synthesize the trace ON DEVICE (a hash over iota, reduced mod p):
     # BASELINE's 2^22-2^24 sweep would otherwise be bounded by the dev
@@ -71,6 +89,7 @@ def bench_lde_merkle(log_rows, cols, hasher, iters=3):
         "value": n / dt,
         "unit": "rows/s",
         "seconds": dt,
+        "split": split,
     }
 
 
@@ -116,10 +135,18 @@ def main():
         if len(sys.argv) > 2 else (16, 18, 20, 22)
     )
     out = []
+    hashers = (sys.argv[3].split(",") if len(sys.argv) > 3
+               else ["keccak", "poseidon2"])
     if which in ("lde_merkle", "all"):
         for log_rows in sizes:
-            for hasher in ("keccak", "poseidon2"):
-                out.append(bench_lde_merkle(log_rows, 64, hasher))
+            for hasher in hashers:
+                try:
+                    row = bench_lde_merkle(log_rows, 64, hasher)
+                except Exception as e:
+                    print(f"# fused OOM ({type(e).__name__}); retrying "
+                          f"split pipeline", file=sys.stderr, flush=True)
+                    row = bench_lde_merkle(log_rows, 64, hasher, split=True)
+                out.append(row)
                 print(json.dumps(out[-1]), flush=True)
     if which in ("fib_prove", "all"):
         out.append(bench_fib_prove())

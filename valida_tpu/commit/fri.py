@@ -335,14 +335,19 @@ def fri_prove(reduced_openings: dict, config: FriConfig, shift: int, challenger)
         challenger.sample_bits(log_max) for _ in range(config.num_queries)
     ]
 
+    # one batched open per layer tree (ONE device->host fetch each) —
+    # per-query open() costs a tunnel round trip per path node
+    per_layer = [
+        tree.open_many([idx >> (layer_i + 1) for idx in query_indices])
+        for layer_i, tree in enumerate(trees)
+    ]
     query_proofs = []
-    for idx in query_indices:
-        openings = []
-        i = idx
-        for tree in trees:
-            rows, path = tree.open(i >> 1)
-            openings.append(CommitPhaseOpening(pair_row=rows[0], path=path))
-            i >>= 1
+    for qi in range(len(query_indices)):
+        openings = [
+            CommitPhaseOpening(pair_row=per_layer[layer_i][qi][0][0],
+                               path=per_layer[layer_i][qi][1])
+            for layer_i in range(len(trees))
+        ]
         query_proofs.append(FriQueryProof(commit_phase_openings=openings))
 
     proof = FriProof(

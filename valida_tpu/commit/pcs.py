@@ -225,15 +225,23 @@ class TwoAdicFriPcs:
             reduced, config, self.shift, challenger
         )
 
-        # 6. input openings per query
+        # 6. input openings per query — batched per round tree (one
+        # device->host fetch each; see MerkleTree.open_many)
         log_max = max(reduced)
+        per_round = [
+            data.tree.open_many([
+                idx >> (log_max - data.tree.log_max)
+                for idx in query_indices
+            ])
+            for data, _points in rounds
+        ]
         query_proofs = []
-        for qi, idx in enumerate(query_indices):
-            input_openings = []
-            for data, _points in rounds:
-                tree_log_max = data.tree.log_max
-                rows, path = data.tree.open(idx >> (log_max - tree_log_max))
-                input_openings.append(BatchOpening(opened_rows=rows, path=path))
+        for qi in range(len(query_indices)):
+            input_openings = [
+                BatchOpening(opened_rows=per_round[ri][qi][0],
+                             path=per_round[ri][qi][1])
+                for ri in range(len(rounds))
+            ]
             query_proofs.append(
                 PcsQueryProof(
                     input_openings=input_openings,

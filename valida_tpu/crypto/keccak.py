@@ -200,7 +200,11 @@ def _pallas_batch_ok(batch: int) -> bool:
     interpret = os.environ.get("VALIDA_TPU_PALLAS_INTERPRET", "0") == "1"
     if not (interpret or jax.default_backend() in ("tpu", "axon")):
         return False
-    return batch >= 2 * _PB
+    # floor is env-tunable: each distinct batch shape Mosaic-compiles the
+    # ~7k-op kernel once (slow); raising the floor keeps small Merkle
+    # levels on the XLA path (which matches pallas speed there anyway)
+    floor = int(os.environ.get("VALIDA_TPU_KECCAK_PALLAS_MIN", 2 * _PB))
+    return batch >= max(floor, 2 * _PB)
 
 
 def _keccak_pallas(words):

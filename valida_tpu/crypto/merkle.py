@@ -120,6 +120,52 @@ class MerkleTree:
             idx >>= 1
         return rows, path
 
+    def open_many(self, indices):
+        """Batched `open`: one device gather + ONE host fetch for ALL
+        queries (per-query `open` costs a high-latency device->host
+        round trip per matrix row and per path node — ~7000 round trips
+        for a 40-query 14-chip proof, measured at ~25 min through the
+        tunnel).  Returns [(rows, path)] with entries identical to
+        `open(i)` for each i."""
+        from ..backend import xp_of
+
+        q = len(indices)
+        if q == 0:
+            return []
+        xp = xp_of(self.matrices[0])
+        if xp is np:  # host arrays: per-query opens are already cheap
+            return [self.open(int(i)) for i in indices]
+        import jax.numpy as jnp
+
+        idx = np.asarray(indices, dtype=np.int64)
+        pieces = []  # device [q, k] blocks, flattened host-side below
+        widths = []
+        for m in self.matrices:
+            h = int(m.shape[0]).bit_length() - 1
+            pieces.append(m[jnp.asarray(idx >> (self.log_max - h))])
+            widths.append(int(m.shape[1]))
+        lvl = idx
+        for k in range(self.log_max, 0, -1):
+            pieces.append(self.levels[k][jnp.asarray(lvl ^ 1)])
+            lvl >>= 1
+        flat = jnp.concatenate(
+            [p.reshape(q, -1).astype(jnp.uint32) for p in pieces], axis=1
+        )
+        host = np.asarray(flat)  # the single fetch
+        out = []
+        for qi in range(q):
+            off = 0
+            rows = []
+            for w in widths:
+                rows.append(host[qi, off:off + w].copy())
+                off += w
+            path = []
+            for _ in range(self.log_max):
+                path.append(host[qi, off:off + DIGEST_WORDS].copy())
+                off += DIGEST_WORDS
+            out.append((rows, path))
+        return out
+
 
 def verify_openings(root, dims, indices, opened_rows, paths,
                     hasher=KECCAK) -> bool:
