@@ -57,3 +57,43 @@ def test_prove_with_poseidon2_mmcs():
                             hasher="poseidon2")
     proof = m.prove(config)
     m.verify(config, proof)
+
+
+def test_poseidon2_pallas_interpret_bit_identical(monkeypatch):
+    """Pallas kernel (interpret mode) vs the XLA sponge, incl. a narrow
+    final chunk and batch padding to a non-multiple of _PB."""
+    import jax.numpy as jnp
+
+    monkeypatch.setattr(p2, "_PB", 16)
+    monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(7)
+    for w in (16, 64, 12):
+        x = rng.integers(0, 1 << 32, size=(40, w), dtype=np.uint32)
+        want = np.asarray(p2.hash_words(x))
+        got = np.asarray(p2._poseidon2_pallas(jnp.asarray(x)))
+        np.testing.assert_array_equal(want, got)
+
+
+def test_poseidon2_pallas_device_bit_identical():
+    """Compiled-Mosaic pallas poseidon2 vs the XLA path (device only)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a TPU backend")
+    rng = np.random.default_rng(8)
+    x = rng.integers(0, 1 << 32, size=(4096, 64), dtype=np.uint32)
+    want = np.asarray(p2.hash_words(x))
+    got = np.asarray(p2._poseidon2_pallas(jnp.asarray(x)))
+    np.testing.assert_array_equal(want, got)
+
+
+def test_poseidon2_pallas_dispatch(monkeypatch):
+    monkeypatch.setattr(p2, "_PB", 8)
+    assert not p2._pallas_batch_ok(8)  # CPU backend: no pallas
+    monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
+    assert p2._pallas_batch_ok(16)
+    assert not p2._pallas_batch_ok(15)
+    monkeypatch.setenv("VALIDA_TPU_P2_PALLAS", "0")
+    assert not p2._pallas_batch_ok(1 << 20)
