@@ -91,9 +91,18 @@ def test_poseidon2_pallas_device_bit_identical():
 
 def test_poseidon2_pallas_dispatch(monkeypatch):
     monkeypatch.setattr(p2, "_PB", 8)
-    assert not p2._pallas_batch_ok(8)  # CPU backend: no pallas
+    # batch >= floor but backend is CPU (no interpret): gate must refuse —
+    # 16 passes the 2*_PB size floor, so this isolates the backend check
+    assert not p2._pallas_batch_ok(16)
     monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
     assert p2._pallas_batch_ok(16)
     assert not p2._pallas_batch_ok(15)
+    # the env floor works in BOTH directions (advice r3): lowering it
+    # admits smaller batches, raising it refuses larger ones
+    monkeypatch.setenv("VALIDA_TPU_P2_PALLAS_MIN", "4")
+    assert p2._pallas_batch_ok(8)
+    monkeypatch.setenv("VALIDA_TPU_P2_PALLAS_MIN", "1024")
+    assert not p2._pallas_batch_ok(512)
+    monkeypatch.delenv("VALIDA_TPU_P2_PALLAS_MIN")
     monkeypatch.setenv("VALIDA_TPU_P2_PALLAS", "0")
     assert not p2._pallas_batch_ok(1 << 20)

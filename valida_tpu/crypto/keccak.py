@@ -203,8 +203,10 @@ def _pallas_batch_ok(batch: int) -> bool:
     # floor is env-tunable: each distinct batch shape Mosaic-compiles the
     # ~7k-op kernel once (slow); raising the floor keeps small Merkle
     # levels on the XLA path (which matches pallas speed there anyway)
+    # the env var moves the floor in BOTH directions (sub-_PB batches are
+    # padded up inside the kernel, so lowering it is safe, just wasteful)
     floor = int(os.environ.get("VALIDA_TPU_KECCAK_PALLAS_MIN", 2 * _PB))
-    return batch >= max(floor, 2 * _PB)
+    return batch >= floor
 
 
 def _keccak_pallas(words):

@@ -138,7 +138,7 @@ def permute(state):
 # is a single full-tile vector op, and the whole absorb loop runs in VMEM.
 # The `bb` field primitives are plain u32 jnp ops, so they are reused
 # verbatim inside the kernel — the pallas path is bit-identical by
-# construction and checked by tests/test_crypto.py.
+# construction and checked by tests/test_poseidon2.py.
 
 _PB = 1024  # batch elements per kernel program (tiles of (8, 128))
 
@@ -209,8 +209,10 @@ def _pallas_batch_ok(batch: int) -> bool:
     interpret = os.environ.get("VALIDA_TPU_PALLAS_INTERPRET", "0") == "1"
     if not (interpret or jax.default_backend() in ("tpu", "axon")):
         return False
+    # the env var moves the floor in BOTH directions (sub-_PB batches are
+    # padded up inside the kernel, so lowering it is safe, just wasteful)
     floor = int(os.environ.get("VALIDA_TPU_P2_PALLAS_MIN", 2 * _PB))
-    return batch >= max(floor, 2 * _PB)
+    return batch >= floor
 
 
 def _poseidon2_pallas(words):
@@ -224,8 +226,9 @@ def _poseidon2_pallas(words):
     batch, w = words.shape
     n_blocks = -(-w // RATE)
     total = n_blocks * RATE
-    # zero-pad: absorbing Montgomery 0 into capacity lanes is the identity,
-    # so a zero-extended final chunk hashes identically to the narrow one
+    # zero-pad: absorbing Montgomery 0 into the rate lanes is the identity
+    # (state[:RATE] += 0), so a zero-extended final chunk hashes
+    # identically to the narrow one
     bpad = (-batch) % _PB
     if bpad:
         words = jnp.concatenate(

@@ -23,6 +23,8 @@ from __future__ import annotations
 import functools
 import os
 import sys
+import threading
+import uuid
 
 import numpy as np
 import jax
@@ -244,11 +246,22 @@ def _exported_stage(key: str, stage_fn, abstract_args, exported=True,
         blob = exp.serialize()
     except Exception:
         return _place_calls(jax.jit(stage_fn), ctx)  # unexportable: jit
-    os.makedirs(cache_dir, exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    # A cache write must never fail a prove.  _par_map fans stages out on
+    # a ThreadPoolExecutor, so two threads can race to export the same key
+    # (same pid!); the tmp name must be unique per writer and any replace
+    # failure is benign when a winner already published the blob.
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        except OSError:
+            pass
     return _place_calls(jax.jit(exp.call), ctx)
 
 
