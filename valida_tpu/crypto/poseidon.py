@@ -3,13 +3,16 @@
 Round structure mirrors the reference challenger's permutation
 (`/root/reference/basic/src/bin/valida.rs:364-366`): 4 half-full rounds
 (=> 8 full) + 22 partial rounds.  The reference derives its round constants
-and CosetMds from a Rust `Pcg64` stream seeded with "validia seed"; that RNG
-is not reproducible here, so constants are instead derived deterministically
-from the same seed string via SHA-256 counter-mode expansion, and the MDS
-matrix is a fixed Cauchy matrix (provably MDS).  The transcript is therefore
-self-consistent (prover+verifier in this framework agree) but not bit-equal
-to the Rust reference; swap `ROUND_CONSTANTS`/`MDS` with extracted reference
-values to restore bit-compatibility.
+and CosetMds from a Rust `Pcg64` stream seeded with "validia seed"; the
+default scheme ("p3rng") reconstructs that exact derivation chain in
+crypto/p3_rng.py, with the three remaining ambiguities (sample
+interpretation, SipRng key schedule, MDS orientation) parameterized as 8
+KAT-pinned candidate variants.  A SHA-256 counter-mode fallback scheme
+("sha256", the round-1 stand-in with a Cauchy MDS) stays flag-selectable.
+The transcript is self-consistent under either scheme (prover+verifier in
+this framework agree); exact bit-equality with the Rust stream is
+untestable here (no rustc) — if the true stream is a different variant,
+restoring bit-compatibility is `--poseidon p3rng:<variant>`.
 
 Both a host (python int) and a device (batched jnp uint32) implementation
 are provided; they are KAT-tested against each other.
@@ -53,20 +56,24 @@ def _expand_constants(n: int) -> list[int]:
 
 
 # Constant provenance is flag-selectable (VALIDA_TPU_POSEIDON):
-#   "sha256" (default): SHA-256 counter-mode expansion of the seed + a
-#     Cauchy MDS — the round-1 scheme, self-consistent, documented in
+#   "p3rng" (default since round 4): the reference's own derivation
+#     chain, reconstructed in crypto/p3_rng.py (Seeder("validia seed")
+#     -> SipRng -> Pcg64 -> BabyBear rejection sampling;
+#     CosetMds::default()), default variant monty-ee-mj.  Components
+#     are KAT-verified where vectors exist (PCG64, SipHash core); the
+#     SipRng conversion and the monty-vs-canonical sample interpretation
+#     remain unverifiable in this environment — see p3_rng.py's
+#     docstring.  The shipped artifact is thus the best-effort
+#     reference-compatible transcript (VERDICT r3 #6); matching the Rust
+#     verifier later is at most a variant flip ("p3rng:<v>").
+#   "sha256": SHA-256 counter-mode expansion of the seed + a Cauchy
+#     MDS — the round-1 scheme, self-consistent, documented in
 #     docs/deviations.md.
-#   "p3rng": the reference's own derivation chain, reconstructed in
-#     crypto/p3_rng.py (Seeder("validia seed") -> SipRng -> Pcg64 ->
-#     BabyBear rejection sampling; CosetMds::default()).  Components are
-#     KAT-verified where vectors exist (PCG64, SipHash core); the SipRng
-#     conversion and the monty-vs-canonical sample interpretation remain
-#     unverifiable in this environment — see p3_rng.py's docstring.
 # Proofs produced under the two schemes differ (different Fiat-Shamir
 # stream) but both verify under the matching verifier config.
 import os as _os
 
-PARAM_SET = _os.environ.get("VALIDA_TPU_POSEIDON", "sha256")
+PARAM_SET = _os.environ.get("VALIDA_TPU_POSEIDON", "p3rng")
 
 
 def _build_params(param_set: str):

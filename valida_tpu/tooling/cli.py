@@ -58,11 +58,12 @@ def main(argv=None):
                              "(prove and verify must agree)")
     parser.add_argument("--no-debug-checks", action="store_true")
     parser.add_argument("--poseidon", default=None, metavar="SET",
-                        help="challenger constant provenance: sha256 "
-                             "(default), p3rng, or p3rng:<interpret>-<sip>-"
-                             "<mds> selecting one of the 8 candidate "
-                             "reference streams (e.g. p3rng:monty-ee-mj); "
-                             "prove and verify must agree")
+                        help="challenger constant provenance: p3rng "
+                             "(default, = p3rng:monty-ee-mj), "
+                             "p3rng:<interpret>-<sip>-<mds> selecting one "
+                             "of the 8 candidate reference streams, or "
+                             "sha256 (the round-1 scheme); prove and "
+                             "verify must agree")
     args = parser.parse_args(argv)
 
     if args.poseidon:
