@@ -94,11 +94,25 @@ def main():
     # in-memory jit cache — first-call tracing/compiles (one-time per
     # source version, amortized by the persistent caches) excluded
     t_prove2 = None
+    stage_breakdown = None
     if backend_name == "jax" and os.environ.get(
             "VALIDA_TPU_BENCH_REPEAT", "1") != "0":
+        # per-stage wall-clock split of the steady-state prove (VERDICT r3
+        # #3); stage boundaries sync on challenger root fetches, so host
+        # wall-clock per stage is honest
+        from valida_tpu.utils import (start_stage_collection,
+                                      stop_stage_collection)
+
+        start_stage_collection()
         t0 = time.perf_counter()
         proof2 = prove_jit(m, config)
         t_prove2 = time.perf_counter() - t0
+        stage_breakdown = stop_stage_collection()
+        stage_breakdown["(unattributed)"] = {
+            "s": round(t_prove2 - sum(v["s"] for v in
+                                      stage_breakdown.values()), 4),
+            "n": 1,
+        }
         del proof2
 
     backend.set_backend("numpy")
@@ -131,6 +145,8 @@ def main():
 
         out["transfer_bytes"] = transfer_stats["bytes"]
         out["transfer_full_trace_bytes"] = transfer_stats["trace_bytes"]
+        if stage_breakdown is not None:
+            out["stage_breakdown_s"] = stage_breakdown
         # what a host-built prover would have shipped: every padded main
         # trace at 4 B/cell
         out["main_trace_bytes"] = sum(

@@ -7,10 +7,13 @@ supplementary to the repo-root bench.py headline.
                 keccak vs poseidon2 hashers (BASELINE: "LDE+Merkle sweep
                 2^22-2^24, Poseidon2 vs Keccak"; sizes here bounded by the
                 single dev chip's transport)
-  fib_prove   — end-to-end fib(25) BasicMachine prove wall-clock (numpy
-                host backend and, when warm, the jitted device prover)
+  fib_prove   — end-to-end fib(25) BasicMachine prove wall-clock on the
+                numpy host backend
+  fib_prove_jax — same workload through the jitted device prover
+                (warmup / first / steady-state split), the numerator of
+                the BASELINE ">=2x CPU" ratio
 
-usage: python benchmarks/sweep.py [lde_merkle|fib_prove|all]
+usage: python benchmarks/sweep.py [lde_merkle|fib_prove|fib_prove_jax|all]
 """
 
 import json
@@ -93,10 +96,55 @@ def bench_lde_merkle(log_rows, cols, hasher, iters=3, split=False):
     }
 
 
-def bench_fib_prove():
+def bench_lde_merkle_streamed(log_rows, cols, hasher, iters=2,
+                              col_tile=None):
+    """Same workload as bench_lde_merkle through the streamed per-coset
+    commit (`commit/streamed.py`) — never materializes the full LDE, so
+    the BASELINE 2^24 point fits one chip's HBM (VERDICT r3 #4)."""
+    import jax
+    import jax.numpy as jnp
+    from valida_tpu.field import babybear as bb
+    from valida_tpu.commit.streamed import lde_commit_streamed
+
+    n = 1 << log_rows
+
+    @jax.jit
+    def gen():
+        i = jnp.arange(n * cols, dtype=jnp.uint32).reshape(n, cols)
+        x = i * jnp.uint32(747796405) + jnp.uint32(2891336453)
+        x = x ^ (x >> 16)
+        return bb.to_monty(x % jnp.uint32(bb.P))
+
+    x = gen()
+    root, _ = lde_commit_streamed(x, 1, bb.GENERATOR, hasher,
+                                  col_tile=col_tile)
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        root, _ = lde_commit_streamed(x, 1, bb.GENERATOR, hasher,
+                                      col_tile=col_tile)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": "lde_merkle_commit_streamed",
+        "log_rows": log_rows,
+        "cols": cols,
+        "hasher": hasher,
+        "value": n / dt,
+        "unit": "rows/s",
+        "seconds": dt,
+        "col_tile": col_tile,
+    }
+
+
+def bench_fib_prove(backend_name="numpy"):
+    """End-to-end fib(25) prove on the chosen backend ("numpy" = host
+    eager prover; "jax" = jitted device prover, reporting first-call AND
+    steady-state so the TPU/CPU ratio vs BASELINE's ">=2x single-host
+    CPU" north star is adjudicated on like-for-like steady state).
+    Reference analogue: the timed fib prove binary,
+    `/root/reference/basic/src/bin/test_prover.rs:36-60`."""
     from valida_tpu import backend
 
-    backend.set_backend("numpy")
+    backend.set_backend(backend_name)
     from valida_tpu.core.advice import FixedAdviceProvider
     from valida_tpu.core.config import default_config
     from valida_tpu.core.program import ProgramROM
@@ -109,23 +157,39 @@ def bench_fib_prove():
     m.cpu().registers.append((m.cpu().pc, m.cpu().fp))
     m.run(advice=FixedAdviceProvider.empty())
     config = default_config(debug_checks=False)
-    t0 = time.perf_counter()
-    proof = m.prove(config)
-    dt = time.perf_counter() - t0
+    out = {
+        "metric": "fib25_prove_wallclock",
+        "backend": ("numpy-host" if backend_name == "numpy" else
+                    "jax-device"),
+        "queries": 40,
+        "unit": "s",
+    }
+    if backend_name == "jax":
+        from valida_tpu.machine.jit_prover import prove_jit, warmup_jit
+
+        t0 = time.perf_counter()
+        warmup_jit(m, config)
+        out["warmup_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        proof = prove_jit(m, config)
+        out["first_prove_s"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        proof = prove_jit(m, config)
+        dt = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        proof = m.prove(config)
+        dt = time.perf_counter() - t0
+    out["value"] = dt
+    backend.set_backend("numpy")
     t0 = time.perf_counter()
     m.verify(config, proof)
-    dv = time.perf_counter() - t0
+    out["verify_s"] = time.perf_counter() - t0
+    backend.set_backend(backend_name)
     from valida_tpu.tooling.serde import serialize_proof
 
-    return {
-        "metric": "fib25_prove_wallclock",
-        "backend": "numpy-host",
-        "queries": 40,
-        "value": dt,
-        "unit": "s",
-        "verify_s": dv,
-        "proof_bytes": len(serialize_proof(proof)),
-    }
+    out["proof_bytes"] = len(serialize_proof(proof))
+    return out
 
 
 def main():
@@ -148,8 +212,18 @@ def main():
                     row = bench_lde_merkle(log_rows, 64, hasher, split=True)
                 out.append(row)
                 print(json.dumps(out[-1]), flush=True)
+    if which == "lde_merkle_streamed":
+        tile = int(os.environ.get("VALIDA_TPU_SWEEP_COL_TILE", "0")) or None
+        for log_rows in sizes:
+            for hasher in hashers:
+                out.append(bench_lde_merkle_streamed(log_rows, 64, hasher,
+                                                     col_tile=tile))
+                print(json.dumps(out[-1]), flush=True)
     if which in ("fib_prove", "all"):
         out.append(bench_fib_prove())
+        print(json.dumps(out[-1]), flush=True)
+    if which == "fib_prove_jax":
+        out.append(bench_fib_prove("jax"))
         print(json.dumps(out[-1]), flush=True)
 
 

@@ -141,3 +141,31 @@ def test_pcs_rejects_wrong_root():
     vch.observe_digest(bad_root)
     with pytest.raises(FriError):
         pcs.verify_multi_batches([(bad_root, [[z]])], [[(8, 2)]], opened, proof, vch)
+
+
+def test_streamed_commit_matches_monolithic():
+    """lde_commit_streamed root == MerkleTree over the full bitrev LDE
+    (both hashers, blowup 1 and 2, with and without column tiling)."""
+    import jax.numpy as jnp
+
+    from valida_tpu.commit.streamed import lde_commit_streamed
+    from valida_tpu.crypto.merkle import MerkleTree
+    from valida_tpu.poly import ntt as nttm
+
+    rng = np.random.default_rng(11)
+    for log_blowup, hasher, col_tile in [
+        (1, "keccak", None), (1, "poseidon2", None),
+        (2, "keccak", None), (1, "keccak", 4),
+    ]:
+        evals = jnp.asarray(
+            rng.integers(0, bb.P, size=(32, 8), dtype=np.uint32))
+        lde = bb.from_monty(
+            nttm.coset_lde(evals, log_blowup, bb.GENERATOR,
+                           out_bitrev=True))
+        want_tree = MerkleTree([np.asarray(lde)], hasher)
+        root, levels = lde_commit_streamed(evals, log_blowup, bb.GENERATOR,
+                                           hasher, col_tile=col_tile)
+        np.testing.assert_array_equal(root, want_tree.root())
+        for k, lvl in want_tree.levels.items():
+            np.testing.assert_array_equal(np.asarray(levels[k]),
+                                          np.asarray(lvl))
