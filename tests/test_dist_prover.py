@@ -53,6 +53,28 @@ def test_dist_prove_bit_identical_8_devices():
     assert serialize_proof(p_dist) == serialize_proof(p_single)
 
 
+def test_dist_prove_ragged_bit_identical():
+    """Default-suite multi-chip byte-identity on a machine with 4
+    heterogeneous chips (heights 512/64/16/1, a preprocessed matrix, a
+    1-row trace) — the cheap stand-in for the full-BasicMachine slow test
+    (VERDICT r3 #8)."""
+    from valida_tpu.machine.examples import random_ragged_machine
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = make_mesh(4, dp=1)
+    config = test_config(debug_checks=False)
+
+    m = random_ragged_machine(512, seed=5)
+    assert _dist_dif_applies(9, mesh, "sp")
+    p_dist = prove_jit(m, config, mesh=mesh)
+    m.verify(config, p_dist)
+
+    m2 = random_ragged_machine(512, seed=5)
+    p_single = prove_jit(m2, config)
+    assert serialize_proof(p_dist) == serialize_proof(p_single)
+
+
 def _run_fib_machine():
     from valida_tpu.core.advice import FixedAdviceProvider
     from valida_tpu.core.program import ProgramROM

@@ -226,6 +226,27 @@ def extract_final_poly(current, config: FriConfig, log_max: int,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _grind_attempt_jit(batch: int, k: int, mask: int, _param_set: str):
+    """One compiled grind attempt per (batch, buffer-len, mask) — a
+    per-prove closure here recompiled ~2.4 s on EVERY prove (the single
+    biggest steady-state stage at 2^13, VERDICT r3 #3).  _param_set keys
+    the cache because permute_device bakes the active Poseidon constants
+    in at trace time."""
+
+    @jax.jit
+    def attempt(state0_m, start):
+        cand = start + jnp.arange(batch, dtype=jnp.uint32)
+        st = state0_m.at[:, k].set(bb.to_monty(cand))
+        out = poseidon.permute_device(st)
+        last = bb.from_monty(out[:, poseidon.WIDTH - 1])
+        ok = (last & jnp.uint32(mask)) == 0
+        idx = jnp.argmax(ok)
+        return jnp.where(jnp.any(ok), cand[idx], jnp.uint32(0xFFFFFFFF))
+
+    return attempt
+
+
 def grind_device(challenger, bits: int) -> int:
     """Find the smallest witness w such that observing w then sampling
     `bits` bits yields 0.  Batched Poseidon on device; falls back to the
@@ -242,28 +263,15 @@ def grind_device(challenger, bits: int) -> int:
     assert k + 1 < poseidon.WIDTH, "input buffer overflow during grind"
     mask = (1 << bits) - 1
     use_jax = get_backend() == "jax"
-    jit_cache = {}
 
     def attempt_host(start, batch):
         state0 = np.tile(base_state, (batch, 1))
         for i, v in enumerate(pending):
             state0[:, i] = v
         if use_jax:
-            if batch not in jit_cache:
-                @jax.jit
-                def attempt(state0_m, start):
-                    cand = start + jnp.arange(batch, dtype=jnp.uint32)
-                    st = state0_m.at[:, k].set(bb.to_monty(cand))
-                    out = poseidon.permute_device(st)
-                    last = bb.from_monty(out[:, poseidon.WIDTH - 1])
-                    ok = (last & jnp.uint32(mask)) == 0
-                    idx = jnp.argmax(ok)
-                    return jnp.where(jnp.any(ok), cand[idx],
-                                     jnp.uint32(0xFFFFFFFF))
-
-                jit_cache[batch] = attempt
+            fn = _grind_attempt_jit(batch, k, mask, poseidon.PARAM_SET)
             state0_m = bb.to_monty(jnp.asarray(state0))
-            return int(jit_cache[batch](state0_m, jnp.uint32(start)))
+            return int(fn(state0_m, jnp.uint32(start)))
         st = bb.to_monty(state0)
         cand = (start + np.arange(batch, dtype=np.uint64)).astype(np.uint32)
         st[:, k] = bb.to_monty(cand)
