@@ -115,13 +115,18 @@ def bench_lde_merkle_streamed(log_rows, cols, hasher, iters=2,
         x = x ^ (x >> 16)
         return bb.to_monty(x % jnp.uint32(bb.P))
 
-    x = gen()
-    root, _ = lde_commit_streamed(x, 1, bb.GENERATOR, hasher,
-                                  col_tile=col_tile)
+    def once():
+        # regenerate inside the timed region (deterministic, ~ms) so the
+        # input buffer is droppable during the commit — at 2^24 holding
+        # x across the call would cost 4 GB of the 16 GB HBM budget
+        root, _ = lde_commit_streamed(gen(), 1, bb.GENERATOR, hasher,
+                                      col_tile=col_tile)
+        return root
+
+    once()
     t0 = time.perf_counter()
     for _i in range(iters):
-        root, _ = lde_commit_streamed(x, 1, bb.GENERATOR, hasher,
-                                      col_tile=col_tile)
+        root = once()
     dt = (time.perf_counter() - t0) / iters
     return {
         "metric": "lde_merkle_commit_streamed",

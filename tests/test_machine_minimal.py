@@ -45,3 +45,27 @@ def test_minimal_machine_rejects_tampered_proof():
     bad.chip_proofs[0].cumulative_sum = tuple(cs)
     with pytest.raises(VerificationError):
         m.verify(config, bad)
+
+
+def test_ragged_machine_prove_verify():
+    """RaggedMachine (4 chips, heights n/n8/16/1, preprocessed matrix)
+    through the eager prover with debug checks on."""
+    from valida_tpu.machine.examples import random_ragged_machine
+
+    m = random_ragged_machine(32, seed=7)
+    config = test_config()
+    proof = m.prove(config)
+    m.verify(config, proof)
+    assert len(proof.chip_proofs) == 4
+    heights = sorted(cp.log_degree for cp in proof.chip_proofs)
+    assert heights == [0, 2, 4, 5]  # 1-row, 4 (32//8), 16, 32
+
+
+def test_ragged_machine_detects_bus_imbalance():
+    from valida_tpu.machine.examples import random_ragged_machine
+
+    m = random_ragged_machine(32, seed=7)
+    m.range.counts[m.onerow.value] -= 1  # drop the 1-row chip's receive
+    config = test_config()
+    with pytest.raises(AssertionError):
+        m.prove(config)
