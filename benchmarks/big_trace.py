@@ -83,12 +83,24 @@ def main():
             print(f"[warmup] {n_stages} stages compiled in {t_warmup:.1f}s",
                   file=sys.stderr)
 
+    first_breakdown = None
     t0 = time.perf_counter()
     if backend_name == "jax":
+        from valida_tpu.utils import (start_stage_collection,
+                                      stop_stage_collection)
+
+        start_stage_collection()
         proof = prove_jit(m, config)
+        first_breakdown = stop_stage_collection()
     else:
         proof = m.prove(config)
     t_prove = time.perf_counter() - t0
+    if first_breakdown is not None:
+        first_breakdown["(unattributed)"] = {
+            "s": round(t_prove - sum(v["s"] for v in
+                                     first_breakdown.values()), 4),
+            "n": 1,
+        }
 
     # steady-state wall-clock: a second prove in-process hits every
     # in-memory jit cache — first-call tracing/compiles (one-time per
@@ -147,6 +159,8 @@ def main():
         out["transfer_full_trace_bytes"] = transfer_stats["trace_bytes"]
         if stage_breakdown is not None:
             out["stage_breakdown_s"] = stage_breakdown
+        if first_breakdown is not None:
+            out["first_stage_breakdown_s"] = first_breakdown
         # what a host-built prover would have shipped: every padded main
         # trace at 4 B/cell
         out["main_trace_bytes"] = sum(
