@@ -109,3 +109,96 @@ def test_exported_stage_concurrent_same_key(tmp_path, monkeypatch):
     # exactly one published blob for the key, no leftover tmp files
     leftovers = [p for p in tmp_path.iterdir() if ".tmp." in p.name]
     assert leftovers == []
+
+
+def test_perm_stage_not_poisoned_by_prep_content(tmp_path, monkeypatch):
+    """Regression: the perm stage used to bake chip.preprocessed_trace()
+    CONTENT into the compiled stage while its cache key carried only
+    shapes — proving a second machine with identical shapes but different
+    preprocessed values (e.g. a different program ROM of the same length)
+    silently reused the first machine's constants, and its proof failed
+    verification (observed: 2^17 alu-loop OOD failure on the program
+    chip after a 2^13 run).  Preprocessed traces are traced arguments
+    now; both proofs must verify."""
+    from valida_tpu.air.types import VPCol, Interaction
+    from valida_tpu.chips import Chip
+    from valida_tpu.machine.examples import RANGE_BUS, MAX, SenderChip
+    from valida_tpu.machine.machine import Machine
+
+    monkeypatch.setenv("VALIDA_TPU_STAGE_CACHE", str(tmp_path))
+
+    class VarRangeChip(Chip):
+        """Range table whose PREPROCESSED column carries the values in a
+        machine-specific order — bus fields read the prep column, so a
+        stale baked prep breaks the LogUp balance."""
+
+        name = "vrange"
+
+        def __init__(self, order):
+            self.order = list(order)
+            self.counts = {}
+
+        def width(self):
+            return 1
+
+        def generate_trace(self, machine):
+            rows = np.zeros((MAX, 1), dtype=np.uint32)
+            for v, c in self.counts.items():
+                rows[self.order.index(v), 0] = c
+            return rows
+
+        def preprocessed_trace(self):
+            return np.array(self.order, dtype=np.uint32).reshape(MAX, 1)
+
+        def global_receives(self, machine):
+            return [Interaction(fields=[VPCol.single_prep(0)],
+                                count=VPCol.single_main(0),
+                                bus=machine.range_bus())]
+
+        def eval(self, b):
+            pass
+
+    class VarMachine(Machine):
+        def __init__(self, pairs, order):
+            self.sender = SenderChip(pairs)
+            self.vrange = VarRangeChip(order)
+            for a, b in pairs:
+                for v in (a, b):
+                    self.vrange.counts[v] = self.vrange.counts.get(v, 0) + 1
+
+        def chips(self):
+            return [self.sender, self.vrange]
+
+        def range_bus(self):
+            return RANGE_BUS
+
+    pairs = [(1, 2), (3, 4), (15, 0), (7, 7)] * 4
+    config = test_config(debug_checks=False)
+    m1 = VarMachine(pairs, list(range(MAX)))
+    p1 = prove_jit(m1, config)
+    m1.verify(config, p1)
+    m2 = VarMachine(pairs, list(reversed(range(MAX))))
+    p2 = prove_jit(m2, config)
+    m2.verify(config, p2)
+
+
+def test_quotient_chunked_bit_identical(monkeypatch):
+    """Row-chunked quotient evaluation (lax.map tiles, used for large
+    domains where the one-shot fused graph exceeds HBM at compile time)
+    produces a bit-identical proof to the one-shot path."""
+    from valida_tpu.machine import jit_prover as jp
+    from valida_tpu.tooling.serde import serialize_proof
+
+    config = test_config(debug_checks=False)
+    monkeypatch.setenv("VALIDA_TPU_QUOTIENT_CHUNK", "8")
+    jp._QUOTIENT_STAGE_CACHE.clear()
+    m1 = MiniMachine([(i % 16, (i + 1) % 16) for i in range(48)])
+    p1 = prove_jit(m1, config)
+    m1.verify(config, p1)
+    monkeypatch.setenv("VALIDA_TPU_QUOTIENT_CHUNK", "0")
+    jp._QUOTIENT_STAGE_CACHE.clear()
+    m2 = MiniMachine([(i % 16, (i + 1) % 16) for i in range(48)])
+    p2 = prove_jit(m2, config)
+    m2.verify(config, p2)
+    jp._QUOTIENT_STAGE_CACHE.clear()
+    assert serialize_proof(p1) == serialize_proof(p2)

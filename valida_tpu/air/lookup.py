@@ -84,10 +84,19 @@ def _ext_powers_arr(ch_m, count, skip_first=False):
     return out
 
 
-def generate_permutation_trace(machine, chip, main_trace, challenges):
+def generate_permutation_trace(machine, chip, main_trace, challenges,
+                               prep=None):
     """main_trace: canonical uint32 [N, C] (device or numpy); challenges:
     3 ext values — host tuples or a [3, 5] canonical array (array form is
     jit-traceable, so compiled permutation stages are challenge-independent).
+
+    prep: optional canonical preprocessed trace override (device or
+    numpy).  The jitted prover MUST pass it as a traced argument: reading
+    `chip.preprocessed_trace()` here bakes the CONTENT (e.g. the program
+    ROM's operands) into the compiled stage, whose cache key carries only
+    shapes — a second program with the same ROM length would silently
+    reuse the first program's constants (found: 2^17 alu-loop proof
+    failed OOD on the program chip after a 2^13 run populated the cache).
 
     Returns perm trace as ext matrix [N, n_interactions + 1, 5] Montgomery,
     where the last ext column is the running sum phi.
@@ -95,13 +104,16 @@ def generate_permutation_trace(machine, chip, main_trace, challenges):
     interactions = chip.all_interactions(machine)
     n = int(main_trace.shape[0])
     main_m = bb.to_monty(asarray(main_trace))
-    prep = chip.preprocessed_trace()
+    if prep is None:
+        prep = chip.preprocessed_trace()
     prep_m = None
     if prep is not None:
-        prep = np.asarray(prep)
-        if prep.shape[0] < n:  # pad preprocessed to trace height
-            pad = np.zeros((n - prep.shape[0], prep.shape[1]), dtype=prep.dtype)
-            prep = np.concatenate([prep, pad], axis=0)
+        xp = xp_of(asarray(main_trace))
+        prep = asarray(prep)
+        if int(prep.shape[0]) < n:  # pad preprocessed to trace height
+            pad = xp.zeros((n - int(prep.shape[0]), int(prep.shape[1])),
+                           dtype=np.uint32)
+            prep = xp.concatenate([asarray(prep), pad], axis=0)
         prep_m = bb.to_monty(asarray(prep[:n]))
 
     if isinstance(challenges, (list, tuple)):

@@ -9,6 +9,8 @@ closed-form periodic vector.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -61,54 +63,92 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
         nxt = [VVal(rolled[:, c], False) for c in range(arr.shape[1])]
         return local, nxt
 
-    main_local, main_next = window(main)
-    prep_local, prep_next = window(prep)
-
+    main_rolled = xp.roll(main, -next_step, axis=0)
+    prep_rolled = xp.roll(prep, -next_step, axis=0) if prep is not None \
+        else None
     n_perm_ext = perm.shape[1] // 5
     perm_rolled = xp.roll(perm, -next_step, axis=0)
-    perm_local = _ext_cols_to_vvals(perm, n_perm_ext)
-    perm_next = _ext_cols_to_vvals(perm_rolled, n_perm_ext)
 
     zc = ZerofierOnCoset(log_degree, qd, pcs_shift)
     xs = xp.asarray(coset_points(log_degree + qd, pcs_shift))
     g_sub = bb.two_adic_generator(log_degree)
     sub_last = bb.monty_scalar(bb.h_inv(g_sub))
-    is_transition = VVal(bb.sub(xs, np.uint32(sub_last)), False)
-    is_first = VVal(xp.asarray(zc.lagrange_basis_unnormalized(0)), False)
-    is_last = VVal(
-        xp.asarray(zc.lagrange_basis_unnormalized((1 << log_degree) - 1)), False
+    trans_v = bb.sub(xs, np.uint32(sub_last))
+    first_v = xp.asarray(zc.lagrange_basis_unnormalized(0))
+    last_v = xp.asarray(
+        zc.lagrange_basis_unnormalized((1 << log_degree) - 1)
     )
+    zinv = xp.asarray(zc.zerofier_inv_evals())
 
     def ext_const(e):
         if isinstance(e, tuple):
             e = np.array(e, dtype=np.uint32)
         return VVal(bb.to_monty(xp.asarray(e)), True)
 
-    builder = VectorBuilder(
-        machine,
-        main_local=main_local,
-        main_next=main_next,
-        prep_local=prep_local,
-        prep_next=prep_next,
-        perm_local=perm_local,
-        perm_next=perm_next,
-        perm_challenges=[ext_const(perm_challenges[i]) for i in range(3)],
-        is_first_row=is_first,
-        is_last_row=is_last,
-        is_transition=is_transition,
-        alpha=ext_const(alpha),
-        mode="quotient",
-        trace_height=1 << log_degree,
-    )
-    chip.eval(builder)
-    eval_permutation_constraints(chip, builder, cumulative_sum)
-    builder.fold()
+    def eval_rows(m_l, m_n, p_l, p_n, pe_l, pe_n, tr, fi, la, zi):
+        """Fold all constraints over one row block (any length)."""
+        builder = VectorBuilder(
+            machine,
+            main_local=[VVal(m_l[:, c], False) for c in range(m_l.shape[1])],
+            main_next=[VVal(m_n[:, c], False) for c in range(m_n.shape[1])],
+            prep_local=([VVal(p_l[:, c], False)
+                         for c in range(p_l.shape[1])] if p_l is not None
+                        else []),
+            prep_next=([VVal(p_n[:, c], False)
+                        for c in range(p_n.shape[1])] if p_n is not None
+                       else []),
+            perm_local=_ext_cols_to_vvals(pe_l, n_perm_ext),
+            perm_next=_ext_cols_to_vvals(pe_n, n_perm_ext),
+            perm_challenges=[ext_const(perm_challenges[i]) for i in range(3)],
+            is_first_row=VVal(fi, False),
+            is_last_row=VVal(la, False),
+            is_transition=VVal(tr, False),
+            alpha=ext_const(alpha),
+            mode="quotient",
+            trace_height=1 << log_degree,
+        )
+        chip.eval(builder)
+        eval_permutation_constraints(chip, builder, cumulative_sum)
+        builder.fold()
+        acc = builder.accumulator
+        if acc is None:
+            return xp.zeros((m_l.shape[0], 5), dtype=np.uint32)
+        return extf.ext_mul_base(acc._as_ext(), zi)
 
-    acc = builder.accumulator
-    if acc is None:
-        return xp.zeros((q_size, 5), dtype=np.uint32)
-    zinv = xp.asarray(zc.zerofier_inv_evals())
-    return extf.ext_mul_base(acc._as_ext(), zinv)
+    # Row-chunked evaluation (device only, large domains): the one-shot
+    # fused graph keeps every constraint intermediate live at [Q, 5] —
+    # at 2^20 rows the widest chips exceed HBM at COMPILE time (measured:
+    # 15.91G/15.75G).  lax.map traces the fold once and runs it per row
+    # tile, bounding temps at [chunk, 5]; values are bit-identical
+    # (row-wise expressions, rolls precomputed globally).
+    chunk = int(os.environ.get("VALIDA_TPU_QUOTIENT_CHUNK", 1 << 15))
+    if xp is not np and chunk and q_size > chunk:
+        import jax
+
+        nch = q_size // chunk
+
+        def rs(a):
+            return a.reshape((nch, chunk) + a.shape[1:])
+
+        ops = dict(
+            m_l=rs(main), m_n=rs(main_rolled),
+            pe_l=rs(perm), pe_n=rs(perm_rolled),
+            tr=rs(trans_v), fi=rs(first_v), la=rs(last_v), zi=rs(zinv),
+        )
+        if prep is not None:
+            ops["p_l"] = rs(prep)
+            ops["p_n"] = rs(prep_rolled)
+
+        def body(o):
+            return eval_rows(o["m_l"], o["m_n"], o.get("p_l"), o.get("p_n"),
+                             o["pe_l"], o["pe_n"], o["tr"], o["fi"],
+                             o["la"], o["zi"])
+
+        out = jax.lax.map(body, ops)
+        return out.reshape(q_size, 5)
+
+    return eval_rows(main, main_rolled, prep, prep_rolled, perm, perm_rolled,
+                     trans_v, first_v, last_v, zinv)
 
 
 def decompose_and_flatten(q_vals, pcs_shift, log_quotient_degree):

@@ -194,9 +194,26 @@ def _constrain_outputs(stage_fn, ctx):
 
 def _place_calls(fn, ctx):
     """Wrap a compiled stage so every array argument is placed to the
-    canonical layout first (no-op when already there)."""
+    canonical layout first (no-op when already there).
+
+    With no mesh ctx, arguments are still COMMITTED to the default
+    device: jnp.zeros / jnp.asarray produce uncommitted arrays
+    (UnspecifiedValue sharding) while stage outputs are committed, and
+    the jit cache keys on that difference — warmup's zeros-input
+    executions would otherwise compile every stage a SECOND time when
+    the prove feeds committed arrays (measured: 46/51 stages, ~760 s of
+    the 2^13 BasicMachine first prove)."""
     if ctx is None:
-        return fn
+        def call0(*args):
+            dev = jax.devices()[0]
+            placed = jax.tree.map(
+                lambda a: (jax.device_put(a, dev)
+                           if isinstance(a, (jax.Array, np.ndarray)) else a),
+                args,
+            )
+            return fn(*placed)
+
+        return call0
 
     def call(*args):
         placed = jax.tree.map(
@@ -639,21 +656,38 @@ def _device_tracegen_enabled() -> bool:
     return os.environ.get("VALIDA_TPU_DEVICE_TRACEGEN", "1") != "0"
 
 
-def _perm_stage(machine, chip, log_degree, width, exported=True, ctx=None):
+def _perm_stage(machine, chip, log_degree, width, prep_shape=None,
+                exported=True, ctx=None):
+    """prep_shape: shape of the chip's preprocessed trace, or None.  The
+    preprocessed trace is a traced ARGUMENT, never a baked constant: the
+    stage key carries only shapes, so baking content (the program ROM)
+    would let a second program with the same ROM length silently reuse
+    the first one's constants from the in-process or persistent cache
+    (observed as a program-chip OOD failure at 2^17 after a 2^13 run)."""
     key = (type(machine).__name__, chip.name, log_degree, width,
-           exported, _ctx_key(ctx))
+           prep_shape, exported, _ctx_key(ctx))
     fn = _PERM_STAGE_CACHE.get(key)
     if fn is None:
-        def stage(main_trace, ch_arr):
-            t = generate_permutation_trace(machine, chip, main_trace, ch_arr)
-            flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
-            return t, flat, t[-1, -1]
+        if prep_shape is None:
+            def stage(main_trace, ch_arr):
+                t = generate_permutation_trace(machine, chip, main_trace,
+                                               ch_arr)
+                flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
+                return t, flat, t[-1, -1]
 
-        fn = _exported_stage(
-            f"perm:{key}", stage,
-            (_sds(1 << log_degree, width, ctx=ctx), _sds(3, 5, ctx=ctx)),
-            exported, ctx,
-        )
+            args = (_sds(1 << log_degree, width, ctx=ctx),
+                    _sds(3, 5, ctx=ctx))
+        else:
+            def stage(main_trace, prep, ch_arr):
+                t = generate_permutation_trace(machine, chip, main_trace,
+                                               ch_arr, prep=prep)
+                flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
+                return t, flat, t[-1, -1]
+
+            args = (_sds(1 << log_degree, width, ctx=ctx),
+                    _sds(*prep_shape, ctx=ctx), _sds(3, 5, ctx=ctx))
+
+        fn = _exported_stage(f"perm:{key}", stage, args, exported, ctx)
         _PERM_STAGE_CACHE[key] = fn
     return fn
 
@@ -886,7 +920,12 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
     # perm + quotient stages
     for ci, (c, ld) in enumerate(zip(chips, log_degrees)):
         h, w = main_shapes[ci]
-        add(_perm_stage(machine, c, ld, w, True, ctx), sds(h, w), sds(3, 5))
+        if ci in prep_shapes:
+            add(_perm_stage(machine, c, ld, w, prep_shapes[ci], True, ctx),
+                sds(h, w), sds(*prep_shapes[ci]), sds(3, 5))
+        else:
+            add(_perm_stage(machine, c, ld, w, None, True, ctx),
+                sds(h, w), sds(3, 5))
         shapes_q = (
             (h << log_blowup, w),
             (perm_shapes[ci][0] << log_blowup, perm_shapes[ci][1]),
@@ -1117,12 +1156,21 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     perm_challenges = [challenger.sample_ext() for _ in range(3)]
     ch_arr = jnp.asarray(np.array(perm_challenges, dtype=np.uint32))
 
+    def perm_one(ci, c, t):
+        ld = int(t.shape[0]).bit_length() - 1
+        w = int(t.shape[1])
+        if ci in prep_indices:
+            prep = prep_list[prep_indices[ci]]
+            fn = _perm_stage(machine, c, ld, w,
+                             tuple(int(x) for x in prep.shape),
+                             exported, ctx)
+            return fn(t, prep, ch_arr)
+        return _perm_stage(machine, c, ld, w, None, exported, ctx)(t, ch_arr)
+
     with stage("generate permutation traces"):
         perm_outs = _par_map([
-            (lambda c=c, t=t: _perm_stage(
-                machine, c, int(t.shape[0]).bit_length() - 1,
-                int(t.shape[1]), exported, ctx)(t, ch_arr))
-            for c, t in zip(chips, main_traces)
+            (lambda ci=ci, c=c, t=t: perm_one(ci, c, t))
+            for ci, (c, t) in enumerate(zip(chips, main_traces))
         ])
     perm_traces = [o[0] for o in perm_outs]
     perm_flat = [o[1] for o in perm_outs]
