@@ -1,7 +1,10 @@
 """Poseidon2 hasher: permutation sanity + full machine proof with the
 poseidon2 MMCS."""
 
+import os
+
 import numpy as np
+import pytest
 
 from valida_tpu.field import babybear as bb
 from valida_tpu.crypto import poseidon2 as p2
@@ -59,6 +62,11 @@ def test_prove_with_poseidon2_mmcs():
     m.verify(config, proof)
 
 
+@pytest.mark.skipif(
+    os.environ.get("VALIDA_TPU_SLOW_TESTS", "0") != "1",
+    reason="interpret-mode eval of the unrolled lane-list kernel is "
+           "minutes-slow; set VALIDA_TPU_SLOW_TESTS=1 (device parity is "
+           "covered by test_poseidon2_pallas_device_bit_identical)")
 def test_poseidon2_pallas_interpret_bit_identical(monkeypatch):
     """Pallas kernel (interpret mode) vs the XLA sponge, incl. a narrow
     final chunk and batch padding to a non-multiple of _PB."""
@@ -67,8 +75,11 @@ def test_poseidon2_pallas_interpret_bit_identical(monkeypatch):
     monkeypatch.setattr(p2, "_PB", 16)
     monkeypatch.setenv("VALIDA_TPU_PALLAS_INTERPRET", "1")
     rng = np.random.default_rng(7)
-    for w in (16, 64, 12):
-        x = rng.integers(0, 1 << 32, size=(40, w), dtype=np.uint32)
+    # the fully-unrolled lane-list kernel is slow under interpret-mode
+    # eager evaluation — keep the shapes minimal (narrow final chunk +
+    # batch padding to a non-multiple of _PB are still both covered)
+    for w in (16, 12):
+        x = rng.integers(0, 1 << 32, size=(18, w), dtype=np.uint32)
         want = np.asarray(p2.hash_words(x))
         got = np.asarray(p2._poseidon2_pallas(jnp.asarray(x)))
         np.testing.assert_array_equal(want, got)

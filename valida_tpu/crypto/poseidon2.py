@@ -142,14 +142,15 @@ def permute(state):
 
 _PB = 1024  # batch elements per kernel program (tiles of (8, 128))
 
-# round constants shipped to the kernel as one (9, 16) operand (pallas
-# forbids captured array constants): rows 0..7 external, row 8 diagonal
-_CONSTS_M = np.concatenate([_EXT_C_M, _DIAG_M[None, :]], axis=0)
 
+def _external_linear_lanes(lanes):
+    """circ(2*M4, M4, M4, M4) over a LIST of 16 per-lane 2D tiles.
 
-def _external_linear_stacked(state):
-    """circ(2*M4, M4, M4, M4) with the 16 lanes on axis 0: [16, ...]."""
-    s4 = state.reshape((4, 4) + state.shape[1:])  # [block, lane, ...]
+    The kernel keeps the 16 state lanes as separate (8, lanes) values:
+    every Mosaic-hostile construct — [4,4,...] reshapes (unsupported >3D
+    shape casts), strided slices (lowered as gathers), [16,1,1]
+    broadcasts — disappears into static python indexing.  Value-exact
+    vs the XLA path: mod-p ops are exact, so op grouping is free."""
 
     def mul_small(v, k):
         if k == 1:
@@ -158,45 +159,46 @@ def _external_linear_stacked(state):
             return bb.add(v, v)
         return bb.add(bb.add(v, v), v)
 
-    rows = []
-    for i in range(4):  # output lane i within block
-        acc = None
-        for j in range(4):
-            t = mul_small(s4[:, j], int(_M4[i, j]))
-            acc = t if acc is None else bb.add(acc, t)
-        rows.append(acc)
-    m4b = jnp.stack(rows, axis=1)  # [block, lane, ...]
-    total = bb.add(bb.add(m4b[0], m4b[1]), bb.add(m4b[2], m4b[3]))
-    out = bb.add(m4b, total[None])
-    return out.reshape(state.shape)
+    m4 = []
+    for b in range(4):  # block
+        for i in range(4):  # output lane i within block
+            acc = None
+            for j in range(4):
+                t = mul_small(lanes[4 * b + j], int(_M4[i, j]))
+                acc = t if acc is None else bb.add(acc, t)
+            m4.append(acc)
+    totals = [
+        bb.add(bb.add(m4[i], m4[4 + i]), bb.add(m4[8 + i], m4[12 + i]))
+        for i in range(4)
+    ]
+    return [bb.add(m4[4 * b + i], totals[i])
+            for b in range(4) for i in range(4)]
 
 
-def _permute_stacked(state, ext_c, diag):
-    """Poseidon2 permutation, state [16, ...] Montgomery uint32.
-
-    Same round structure as `permute` (lanes minor); used by the pallas
-    kernel where axis-0 lanes give full-tile vector ops.  ext_c: [8, 16]
-    external round constants; diag: [16] internal diagonal (Montgomery)."""
-    state = _external_linear_stacked(state)
+def _permute_lanes(lanes):
+    """Poseidon2 permutation over a list of 16 per-lane 2D Montgomery
+    tiles.  Same round structure as `permute` (lanes minor); round
+    constants enter as STATIC u32 scalars (no operand, no broadcasts)."""
+    lanes = _external_linear_lanes(lanes)
     half = EXTERNAL_ROUNDS // 2
-    diag_b = diag[:, None, None]
     for r in range(half):
-        state = bb.add(state, ext_c[r][:, None, None])
-        state = _sbox7(state)
-        state = _external_linear_stacked(state)
+        lanes = [_sbox7(bb.add(lanes[i], np.uint32(_EXT_C_M[r, i])))
+                 for i in range(WIDTH)]
+        lanes = _external_linear_lanes(lanes)
     for r in range(INTERNAL_ROUNDS):
-        s0 = _sbox7(bb.add(state[0], np.uint32(_INT_C_M[r])))
-        state = jnp.concatenate([s0[None], state[1:]], axis=0)
-        t = bb.add(state[0::2], state[1::2])  # tree-reduce the lane sum
-        t = bb.add(t[0::2], t[1::2])
-        t = bb.add(t[0::2], t[1::2])
-        total = bb.add(t[0], t[1])
-        state = bb.add(bb.mul(state, diag_b), total[None])
+        lanes = [_sbox7(bb.add(lanes[0], np.uint32(_INT_C_M[r])))] + \
+            lanes[1:]
+        t = list(lanes)
+        while len(t) > 1:  # pairwise tree over the lane list
+            t = [bb.add(t[2 * i], t[2 * i + 1]) for i in range(len(t) // 2)]
+        total = t[0]
+        lanes = [bb.add(bb.mul(lanes[i], np.uint32(_DIAG_M[i])), total)
+                 for i in range(WIDTH)]
     for r in range(half, EXTERNAL_ROUNDS):
-        state = bb.add(state, ext_c[r][:, None, None])
-        state = _sbox7(state)
-        state = _external_linear_stacked(state)
-    return state
+        lanes = [_sbox7(bb.add(lanes[i], np.uint32(_EXT_C_M[r, i])))
+                 for i in range(WIDTH)]
+        lanes = _external_linear_lanes(lanes)
+    return lanes
 
 
 def _pallas_batch_ok(batch: int) -> bool:
@@ -204,11 +206,20 @@ def _pallas_batch_ok(batch: int) -> bool:
 
     import jax
 
-    if os.environ.get("VALIDA_TPU_P2_PALLAS", "1") == "0":
+    flag = os.environ.get("VALIDA_TPU_P2_PALLAS", "")
+    if flag == "0":
         return False
     interpret = os.environ.get("VALIDA_TPU_PALLAS_INTERPRET", "0") == "1"
-    if not (interpret or jax.default_backend() in ("tpu", "axon")):
-        return False
+    if not interpret:
+        # Real-device dispatch is OPT-IN (VALIDA_TPU_P2_PALLAS=1): the
+        # current Mosaic toolchain rejects this kernel ("Only 2D gather
+        # is supported" for the absorb loop's dynamic 3D loads; strided
+        # lane slices and 4D reshapes are likewise unsupported), so the
+        # default device path for poseidon2 is the XLA sponge.  Keccak's
+        # kernel (2D tile layout throughout) compiles and remains the
+        # recommended TPU hasher.
+        if flag != "1" or jax.default_backend() not in ("tpu", "axon"):
+            return False
     # the env var moves the floor in BOTH directions (sub-_PB batches are
     # padded up inside the kernel, so lowering it is safe, just wasteful)
     floor = int(os.environ.get("VALIDA_TPU_P2_PALLAS_MIN", 2 * _PB))
@@ -242,29 +253,25 @@ def _poseidon2_pallas(words):
     wt = words.T.reshape(total, 8, nb // 8)  # batch into the (8, lane) tile
     pbj = _PB // 8
 
-    def kernel(c_ref, x_ref, o_ref):
-        ext_c = c_ref[:EXTERNAL_ROUNDS]
-        diag = c_ref[EXTERNAL_ROUNDS]
-
-        def absorb(blk, state):
-            chunk = x_ref[pl.ds(blk * RATE, RATE)]  # (8, 8, pbj)
-            block = bb.from_wrapped_u32(chunk)
-            state = jnp.concatenate(
-                [bb.add(state[:RATE], block), state[RATE:]], axis=0
-            )
-            return _permute_stacked(state, ext_c, diag)
-
-        state = jnp.zeros((WIDTH, 8, pbj), jnp.uint32)
-        state = jax.lax.fori_loop(0, n_blocks, absorb, state)
-        o_ref[...] = bb.from_monty(state[:RATE])
+    def kernel(x_ref, o_ref):
+        # n_blocks is STATIC: the absorb loop unrolls as python, every
+        # lane load/store is a static 2D slice of the 3D ref (dynamic
+        # fori_loop indexing lowers to >2D gathers, which Mosaic
+        # rejects), and the state lives as a LIST of 16 (8, pbj) tiles
+        state = [jnp.zeros((8, pbj), jnp.uint32) for _ in range(WIDTH)]
+        for blk in range(n_blocks):
+            for i in range(RATE):
+                lane = bb.from_wrapped_u32(x_ref[blk * RATE + i])
+                state[i] = bb.add(state[i], lane)
+            state = _permute_lanes(state)
+        for i in range(RATE):
+            o_ref[i] = bb.from_monty(state[i])
 
     interpret = os.environ.get("VALIDA_TPU_PALLAS_INTERPRET", "0") == "1"
     out = pl.pallas_call(
         kernel,
         grid=(nb // _PB,),
         in_specs=[
-            pl.BlockSpec((9, WIDTH), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((total, 8, pbj), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
@@ -272,7 +279,7 @@ def _poseidon2_pallas(words):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((RATE, 8, nb // 8), jnp.uint32),
         interpret=interpret,
-    )(jnp.asarray(_CONSTS_M), wt)
+    )(wt)
     return out.reshape(RATE, nb).T[:batch]
 
 
