@@ -191,12 +191,16 @@ def test_quotient_chunked_bit_identical(monkeypatch):
 
     config = test_config(debug_checks=False)
     monkeypatch.setenv("VALIDA_TPU_QUOTIENT_CHUNK", "8")
+    monkeypatch.setenv("VALIDA_TPU_REDUCED_CHUNK", "8")
     jp._QUOTIENT_STAGE_CACHE.clear()
+    jp._reduced_stage.cache_clear()
     m1 = MiniMachine([(i % 16, (i + 1) % 16) for i in range(48)])
     p1 = prove_jit(m1, config)
     m1.verify(config, p1)
     monkeypatch.setenv("VALIDA_TPU_QUOTIENT_CHUNK", "0")
+    monkeypatch.setenv("VALIDA_TPU_REDUCED_CHUNK", "0")
     jp._QUOTIENT_STAGE_CACHE.clear()
+    jp._reduced_stage.cache_clear()
     m2 = MiniMachine([(i % 16, (i + 1) % 16) for i in range(48)])
     p2 = prove_jit(m2, config)
     m2.verify(config, p2)

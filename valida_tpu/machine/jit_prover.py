@@ -549,30 +549,51 @@ def _reduced_stage(shape, kind, log_lde, col_offs, shift, exported=True,
 
     def stage(lde, vals, zeta_m, alpha_m):
         apows = _ext_powers_dyn(alpha_m, n_pows)[offs]
-        lde_rev = lde[bitrev_indices(log_lde)]
-        combined_l = []
-        for d in range(5):
-            prod = bb.mul(lde_rev, apows[None, :, d])
-            combined_l.append(nttm._mod_sum(prod, axis=1))
-        combined = jnp.stack(combined_l, axis=-1)
-        xs = jnp.asarray(_coset_points_bitrev_cached(log_lde, shift))
         points = _points_for(zeta_m, kind)
-        # one batched inverse across all points' denominators
-        denoms = jnp.stack(
-            [bb.sub(extf.ext_from_base(xs), z[None, :]) for z in points]
-        )
-        inv_denoms = extf.ext_inv(denoms)
-        acc = None
-        for pi, (z, y) in enumerate(zip(points, vals)):
-            comb_y = nttm._mod_sum(extf.ext_mul(apows, y), axis=0)
-            num = bb.sub(combined, comb_y[None, :])
-            quot = extf.ext_mul(num, inv_denoms[pi])
-            acc = quot if acc is None else bb.add(acc, quot)
-        return acc
+        comb_ys = [nttm._mod_sum(extf.ext_mul(apows, y), axis=0)
+                   for y in vals]
+        lde_rev = lde[bitrev_indices(log_lde)]
+        xs = jnp.asarray(_coset_points_bitrev_cached(log_lde, shift))
+
+        def rows_fn(lde_c, xs_c):
+            combined_l = []
+            for d in range(5):
+                prod = bb.mul(lde_c, apows[None, :, d])
+                combined_l.append(nttm._mod_sum(prod, axis=1))
+            combined = jnp.stack(combined_l, axis=-1)
+            # one batched inverse across all points' denominators
+            denoms = jnp.stack(
+                [bb.sub(extf.ext_from_base(xs_c), z[None, :])
+                 for z in points]
+            )
+            inv_denoms = extf.ext_inv(denoms)
+            acc = None
+            for pi in range(len(points)):
+                num = bb.sub(combined, comb_ys[pi][None, :])
+                quot = extf.ext_mul(num, inv_denoms[pi])
+                acc = quot if acc is None else bb.add(acc, quot)
+            return acc
+
+        # Row-chunked evaluation for large domains (same rationale as
+        # air/quotient.py): the one-shot graph holds [Q, w] alpha-combine
+        # products and [Q, 5, 5] ext-mul partials live — the 2^20 prove
+        # OOM'd XLA compile at 15.91G/15.75G HBM in this stage.  All ops
+        # are row-wise, so lax.map tiles are bit-identical.
+        q = 1 << log_lde
+        chunk = int(os.environ.get("VALIDA_TPU_REDUCED_CHUNK", 1 << 16))
+        if chunk and q > chunk:
+            out = jax.lax.map(
+                lambda o: rows_fn(o[0], o[1]),
+                (lde_rev.reshape(q // chunk, chunk, w),
+                 xs.reshape(q // chunk, chunk)),
+            )
+            return out.reshape(q, 5)
+        return rows_fn(lde_rev, xs)
 
     n_points = 2 if kind[0] == "pair" else 1
     return _exported_stage(
-        f"red:{shape}:{kind}:{log_lde}:{col_offs}:{shift}", stage,
+        f"red:{shape}:{kind}:{log_lde}:{col_offs}:{shift}"
+        f":c{os.environ.get('VALIDA_TPU_REDUCED_CHUNK', '')}", stage,
         (_sds(1 << log_lde, w, ctx=ctx),
          tuple(_sds(w, 5, ctx=ctx) for _ in range(n_points)),
          _sds(5, ctx=ctx), _sds(5, ctx=ctx)),
@@ -720,7 +741,8 @@ def _quotient_stage(machine, chip, log_degree, qd, shapes, shift,
 
         main_s, perm_s, prep_s = shapes
         fn = _exported_stage(
-            f"quot:{key}:{shift}:{log_blowup}", stage,
+            f"quot:{key}:{shift}:{log_blowup}"
+            f":c{os.environ.get('VALIDA_TPU_QUOTIENT_CHUNK', '')}", stage,
             (_sds(*prep_s, ctx=ctx) if prep_s is not None else None,
              _sds(*main_s, ctx=ctx), _sds(*perm_s, ctx=ctx),
              _sds(3, 5, ctx=ctx), _sds(5, ctx=ctx), _sds(5, ctx=ctx)),
