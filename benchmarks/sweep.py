@@ -115,12 +115,14 @@ def bench_lde_merkle_streamed(log_rows, cols, hasher, iters=2,
         x = x ^ (x >> 16)
         return bb.to_monty(x % jnp.uint32(bb.P))
 
+    row_tile = int(os.environ.get("VALIDA_TPU_SWEEP_ROW_TILE", "0")) or None
+
     def once():
         # regenerate inside the timed region (deterministic, ~ms) so the
         # input buffer is droppable during the commit — at 2^24 holding
         # x across the call would cost 4 GB of the 16 GB HBM budget
         root, _ = lde_commit_streamed(gen(), 1, bb.GENERATOR, hasher,
-                                      col_tile=col_tile)
+                                      col_tile=col_tile, row_tile=row_tile)
         return root
 
     once()

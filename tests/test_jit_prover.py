@@ -182,6 +182,105 @@ def test_perm_stage_not_poisoned_by_prep_content(tmp_path, monkeypatch):
     m2.verify(config, p2)
 
 
+def test_ladder_challenge_stage_matches_host():
+    """The device duplex absorb+sample stage (FRI-ladder Fiat-Shamir,
+    VERDICT r4 #2) is bit-identical to the host DuplexChallenger for
+    every possible entry input-buffer length k0 (the mid-observe duplex
+    at k0 >= 8 and the no-second-duplex case at k0 == 8 included)."""
+    import jax.numpy as jnp
+
+    from valida_tpu.crypto.challenger import DuplexChallenger
+    from valida_tpu.field import babybear as bb
+    from valida_tpu.machine.jit_prover import _ladder_challenge_stage
+
+    rng = np.random.default_rng(7)
+    for k0 in range(16):
+        host = DuplexChallenger()
+        # 16 observes duplex once; k0 more leave exactly k0 pending
+        for v in rng.integers(0, bb.P, size=16 + k0, dtype=np.uint32):
+            host.observe(int(v))
+        assert len(host.input_buffer) == k0
+        st = jnp.asarray(np.array(host.state, dtype=np.uint32))
+        pending = jnp.asarray(np.array(host.input_buffer, dtype=np.uint32))
+        root = rng.integers(0, 2**32 - 1, size=8, dtype=np.uint32)
+        chal = _ladder_challenge_stage(k0)
+        if k0:
+            st2, beta_m = chal(st, pending, jnp.asarray(root))
+        else:
+            st2, beta_m = chal(st, jnp.asarray(root))
+        host.observe_digest(root)
+        beta_host = host.sample_ext()
+        beta_dev = tuple(int(x) for x in np.asarray(bb.from_monty(beta_m)))
+        assert beta_dev == beta_host, f"beta mismatch at k0={k0}"
+        np.testing.assert_array_equal(
+            np.asarray(st2), np.array(host.state, dtype=np.uint32)
+        )
+
+
+def test_ladder_entry_k0_matches_runtime():
+    """warmup's transcript-shape simulation of the ladder's entry buffer
+    length agrees with the real prove (a mismatch is only a spurious
+    runtime compile, but keep the simulator honest)."""
+    from valida_tpu.machine import jit_prover as jp
+
+    recorded = []
+    orig = jp._ladder_challenge_stage
+
+    def spy(k0, exported=True, ctx=None):
+        recorded.append(k0)
+        return orig(k0, exported, ctx)
+
+    m = MiniMachine([(1, 2), (3, 4), (15, 0), (7, 7)])
+    config = test_config(debug_checks=False)
+    jp_orig = jp._ladder_challenge_stage
+    jp._ladder_challenge_stage = spy
+    try:
+        proof = prove_jit(m, config)
+    finally:
+        jp._ladder_challenge_stage = jp_orig
+    m.verify(config, proof)
+    assert recorded, "device challenger did not run"
+    # simulate what warmup would compute for this machine's shapes
+    from valida_tpu.air.quotient import get_log_quotient_degree
+    from valida_tpu.commit import fri as frim
+
+    chips = m.chips()
+    pcs = config.pcs
+    log_blowup = pcs.log_blowup
+    qds = [get_log_quotient_degree(m, c) for c in chips]
+    main_shapes = [tuple(int(x) for x in np.asarray(
+        c.generate_trace(m)).shape) for c in chips]
+    log_degrees = [h.bit_length() - 1 for (h, _w) in main_shapes]
+    prep_shapes = {}
+    for ci, c in enumerate(chips):
+        p = c.preprocessed_trace()
+        if p is not None:
+            prep_shapes[ci] = tuple(int(x) for x in np.asarray(p).shape)
+    perm_shapes = [(1 << ld, (len(c.all_interactions(m)) + 1) * 5)
+                   for c, ld in zip(chips, log_degrees)]
+    quot_shapes = [(1 << ld, (1 << qd) * 5)
+                   for ld, qd in zip(log_degrees, qds)]
+    all_mats = []
+    for ci in sorted(prep_shapes):
+        all_mats.append((prep_shapes[ci], ("pair", log_degrees[ci])))
+    for ci in range(len(chips)):
+        all_mats.append((main_shapes[ci], ("pair", log_degrees[ci])))
+    for ci in range(len(chips)):
+        all_mats.append((perm_shapes[ci], ("pair", log_degrees[ci])))
+    for ci in range(len(chips)):
+        all_mats.append((quot_shapes[ci], ("pow", qds[ci])))
+    threshold = frim.direct_open_threshold(config.pcs.config)
+    log_max_all = max(h.bit_length() - 1 + log_blowup
+                      for (h, _w), _k in all_mats)
+    direct_set = {
+        mi for mi, ((h, _w), _k) in enumerate(all_mats)
+        if frim.is_direct_mat(h.bit_length() - 1 + log_blowup,
+                              log_max_all, threshold)
+    }
+    assert recorded[0] == jp._ladder_entry_k0(all_mats, direct_set)
+    assert all(k == 0 for k in recorded[1:])
+
+
 def test_quotient_chunked_bit_identical(monkeypatch):
     """Row-chunked quotient evaluation (lax.map tiles, used for large
     domains where the one-shot fused graph exceeds HBM at compile time)

@@ -153,9 +153,10 @@ def test_streamed_commit_matches_monolithic():
     from valida_tpu.poly import ntt as nttm
 
     rng = np.random.default_rng(11)
-    for log_blowup, hasher, col_tile in [
-        (1, "keccak", None), (1, "poseidon2", None),
-        (2, "keccak", None), (1, "keccak", 4),
+    for log_blowup, hasher, col_tile, row_tile in [
+        (1, "keccak", None, None), (1, "poseidon2", None, None),
+        (2, "keccak", None, None), (1, "keccak", 4, None),
+        (1, "keccak", None, 8), (2, "keccak", 4, 4),
     ]:
         evals = jnp.asarray(
             rng.integers(0, bb.P, size=(32, 8), dtype=np.uint32))
@@ -164,7 +165,8 @@ def test_streamed_commit_matches_monolithic():
                            out_bitrev=True))
         want_tree = MerkleTree([np.asarray(lde)], hasher)
         root, levels = lde_commit_streamed(evals, log_blowup, bb.GENERATOR,
-                                           hasher, col_tile=col_tile)
+                                           hasher, col_tile=col_tile,
+                                           row_tile=row_tile)
         np.testing.assert_array_equal(root, want_tree.root())
         for k, lvl in want_tree.levels.items():
             np.testing.assert_array_equal(np.asarray(levels[k]),

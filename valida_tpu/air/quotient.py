@@ -39,12 +39,27 @@ def _ext_cols_to_vvals(mat_m, n_ext):
     return out
 
 
+def resolve_chunk(env_name: str, default: int) -> int:
+    """Row-tile size from the environment, rounded DOWN to a power of two
+    (tiles must divide the power-of-two domain); 0 disables chunking."""
+    v = int(os.environ.get(env_name, default))
+    if v <= 0:
+        return 0
+    return 1 << (v.bit_length() - 1)
+
+
 def quotient_values(machine, chip, log_degree, log_quotient_degree,
                     prep_lde, main_lde, perm_lde, cumulative_sum,
-                    perm_challenges, alpha, pcs_shift, log_blowup):
+                    perm_challenges, alpha, pcs_shift, log_blowup,
+                    chunk=None):
     """Evaluate the folded constraint polynomial / Z_H on the quotient
     domain (natural order).  LDE inputs are Montgomery, natural order,
-    height N·2^log_blowup.  Returns ext array [N·2^qd, 5] monty."""
+    height N·2^log_blowup.  Returns ext array [N·2^qd, 5] monty.
+
+    chunk: resolved row-tile size (power of two; None = read the
+    VALIDA_TPU_QUOTIENT_CHUNK env default here).  Callers that cache the
+    traced stage must pass the resolved value and key their cache on it
+    (ADVICE r4: env reads inside the trace made cache layers disagree)."""
     qd = log_quotient_degree
     stride = 1 << (log_blowup - qd)
     q_size = 1 << (log_degree + qd)
@@ -121,7 +136,8 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
     # 15.91G/15.75G).  lax.map traces the fold once and runs it per row
     # tile, bounding temps at [chunk, 5]; values are bit-identical
     # (row-wise expressions, rolls precomputed globally).
-    chunk = int(os.environ.get("VALIDA_TPU_QUOTIENT_CHUNK", 1 << 15))
+    if chunk is None:
+        chunk = resolve_chunk("VALIDA_TPU_QUOTIENT_CHUNK", 1 << 15)
     if xp is not np and chunk and q_size > chunk:
         import jax
 

@@ -64,8 +64,17 @@ def _compress_j(hasher_name: str):
         lambda l, r: h.hash_words(jnp.concatenate([l, r], axis=1)))
 
 
+@functools.lru_cache(maxsize=None)
+def _hash_cat_j(hasher_name: str):
+    h = get_hasher(hasher_name)
+    return jax.jit(lambda parts: h.hash_words(
+        bb.from_monty(parts[0] if len(parts) == 1
+                      else jnp.concatenate(parts, axis=1))))
+
+
 def lde_commit_streamed(evals, log_blowup: int, shift: int,
-                        hasher="keccak", col_tile: int | None = None):
+                        hasher="keccak", col_tile: int | None = None,
+                        row_tile: int | None = None):
     """Coset-LDE + full Merkle commit without materializing the LDE.
 
     evals: [N, w] Montgomery uint32 device array (evaluations on H_N).
@@ -77,16 +86,24 @@ def lde_commit_streamed(evals, log_blowup: int, shift: int,
     or use the monolithic path).
 
     col_tile: process the per-coset NTT in column chunks of this width
-    (bounds the transform temps; the assembled [N, w] block is still
-    needed whole for row hashing).
+    (bounds the transform temps).
+    row_tile: hash leaves (and compress the top digest levels) in row
+    chunks of this many rows — the VERDICT r4 #3 "one more tiling step":
+    at 2^24 rows the whole-block Keccak graph's sponge state temps
+    ([N, 50] u32 per live buffer) exceeded HBM at compile time.  Rows
+    hash independently, so tiling is bit-identical.  The full coset
+    block is never assembled: each row tile concatenates the column
+    parts' row slices only.
     """
     hasher_name = get_hasher(hasher).name
     n, w = int(evals.shape[0]), int(evals.shape[1])
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
+    if row_tile:
+        assert row_tile & (row_tile - 1) == 0, "row_tile must be 2^k"
     b = 1 << log_blowup
     w_bn = bb.two_adic_generator(log_n + log_blowup)
-    hash_j = _hash_j(hasher_name)
+    hash_cat_j = _hash_cat_j(hasher_name)
     compress_j = _compress_j(hasher_name)
 
     tiles = ([slice(0, w)] if not col_tile else
@@ -96,16 +113,21 @@ def lde_commit_streamed(evals, log_blowup: int, shift: int,
     coeff_tiles = [_INTT_J(evals[:, t]) for t in tiles]
     del evals
 
+    rt = row_tile if (row_tile and row_tile < n) else n
     digest_blocks: list = [None] * b
     for r in range(b):
         s_r = shift % bb.P * pow(w_bn, r, bb.P) % bb.P
         sp = jnp.asarray(nttm.shift_powers(s_r, log_n))
         parts = [_BLOCK_J(c, sp) for c in coeff_tiles]
-        block = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
-                                                                 axis=1)
+        if rt == n:
+            dig = hash_cat_j(tuple(parts))
+        else:
+            dig = jnp.concatenate([
+                hash_cat_j(tuple(p[i:i + rt] for p in parts))
+                for i in range(0, n, rt)
+            ], axis=0)
         del parts
-        digest_blocks[_rev_bits(r, log_blowup)] = hash_j(block)
-        del block
+        digest_blocks[_rev_bits(r, log_blowup)] = dig
 
     d = jnp.concatenate(digest_blocks, axis=0)
     del digest_blocks
@@ -113,7 +135,15 @@ def lde_commit_streamed(evals, log_blowup: int, shift: int,
     k = log_n + log_blowup
     while k > 0:
         k -= 1
-        d = compress_j(d[0::2], d[1::2])
+        m = 1 << k  # output rows of this level
+        if rt < m:
+            d = jnp.concatenate([
+                compress_j(d[2 * j:2 * (j + rt):2],
+                           d[2 * j + 1:2 * (j + rt):2])
+                for j in range(0, m, rt)
+            ], axis=0)
+        else:
+            d = compress_j(d[0::2], d[1::2])
         levels[k] = d
     root = np.asarray(d[0])
     return root, levels

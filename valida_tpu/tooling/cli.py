@@ -139,7 +139,21 @@ def main(argv=None):
             print("Proof verified")
             return 0
         except Exception as e:
+            from ..crypto import poseidon
+
             print(f"Proof verification failed: {e}")
+            # A Fiat-Shamir configuration mismatch is indistinguishable
+            # from corruption inside the transcript (ADVICE r4): name the
+            # knobs that must match the prover's.
+            print(
+                "note: the verifier's transcript configuration must match "
+                f"the prover's exactly — this run used "
+                f"--poseidon {poseidon.PARAM_SET} --hasher {args.hasher} "
+                f"--log-final {args.log_final}; a proof produced under "
+                "different flags fails verification with no further "
+                "diagnostics (e.g. pre-round-4 proofs used "
+                "--poseidon sha256)."
+            )
             return 1
 
 
