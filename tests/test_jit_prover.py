@@ -182,6 +182,46 @@ def test_perm_stage_not_poisoned_by_prep_content(tmp_path, monkeypatch):
     m2.verify(config, p2)
 
 
+def test_pow2_chunk_resolution(monkeypatch):
+    """Chunk env values resolve to powers of two (ADVICE r4: non-power
+    values used to fail with an opaque reshape error) and 0 disables."""
+    from valida_tpu.machine.jit_prover import _pow2_chunk
+
+    monkeypatch.delenv("VALIDA_TPU_TEST_CHUNK", raising=False)
+    assert _pow2_chunk("VALIDA_TPU_TEST_CHUNK", 1 << 16) == 1 << 16
+    for env, want in [("8", 8), ("9", 8), ("100", 64), ("0", 0),
+                      ("-5", 0), ("65536", 65536), ("65537", 65536)]:
+        monkeypatch.setenv("VALIDA_TPU_TEST_CHUNK", env)
+        assert _pow2_chunk("VALIDA_TPU_TEST_CHUNK", 1 << 16) == want
+
+
+def test_bufsim_matches_challenger_buffers():
+    """The warmup transcript-shape simulator tracks the real challenger's
+    input/output buffer lengths under random observe/sample sequences."""
+    from valida_tpu.crypto.challenger import DuplexChallenger
+    from valida_tpu.machine.jit_prover import _BufSim
+
+    rng = np.random.default_rng(3)
+    host = DuplexChallenger()
+    sim = _BufSim()
+    for _ in range(500):
+        if rng.integers(0, 2) == 0:
+            n = int(rng.integers(1, 20))
+            for v in rng.integers(0, 1 << 31, size=n, dtype=np.uint32):
+                host.observe(int(v) % bb_P)
+            sim.observe(n)
+        else:
+            n = int(rng.integers(1, 8))
+            for _ in range(n):
+                host.sample()
+            sim.sample(n)
+        assert len(host.input_buffer) == sim.k
+        assert len(host.output_buffer) == sim.out
+
+
+bb_P = 2013265921
+
+
 def test_ladder_challenge_stage_matches_host():
     """The device duplex absorb+sample stage (FRI-ladder Fiat-Shamir,
     VERDICT r4 #2) is bit-identical to the host DuplexChallenger for
