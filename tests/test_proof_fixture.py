@@ -52,8 +52,11 @@ def test_fixture_schema_shape():
     """Top-level schema mirrors machine/src/proof.rs:13-44 plus the
     `preprocessed` commitment delta."""
     obj = cbor_loads(open(FIXTURE, "rb").read())
-    assert set(obj.keys()) == {"commitments", "fri", "pcs_queries",
+    assert set(obj.keys()) == {"meta", "commitments", "fri", "pcs_queries",
                                "chip_proofs"}
+    # transcript-configuration header (ADVICE r4): names the poseidon
+    # scheme so a mismatched verifier fails actionably
+    assert obj["meta"]["v"] == 1 and "poseidon" in obj["meta"]
     assert set(obj["commitments"].keys()) == {
         "preprocessed",  # DELTA vs reference Commitments (proof.rs:21-26)
         "main_trace", "perm_trace", "quotient_chunks",

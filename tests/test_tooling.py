@@ -103,6 +103,44 @@ main:
     m.verify(config, proof2)
 
 
+def test_proof_meta_names_transcript_config():
+    """The CBOR meta header records the poseidon scheme (and hasher when a
+    config is passed) so a mismatched verifier fails actionably instead of
+    with an opaque Fiat-Shamir error (ADVICE r4)."""
+    from valida_tpu.crypto import poseidon
+    from valida_tpu.tooling.serde import proof_meta
+
+    m = run_asm("main:\n    imm32 -4(fp), 0, 0, 0, 5\n    stop\n")
+    config = test_config()
+    proof = m.prove(config)
+    meta = proof_meta(serialize_proof(proof, config))
+    assert meta["v"] == 1
+    assert meta["poseidon"] == poseidon.PARAM_SET
+    assert meta["hasher"] == config.pcs.config.hasher
+    # without a config the hasher is unknown but the scheme is still tagged
+    assert "hasher" not in proof_meta(serialize_proof(proof))
+
+
+def test_cli_verify_rejects_scheme_mismatch(tmp_path, capsys):
+    """A proof tagged with a different poseidon scheme must fail verify
+    with a message naming the prover's flags, before any transcript work."""
+    from valida_tpu.tooling.cli import main as cli_main
+    from valida_tpu.tooling.serde import cbor_dumps, cbor_loads
+
+    code = assemble("main:\n  imm32 -4(fp), 0, 0, 0, 7\n  stop\n")
+    prog = tmp_path / "prog.bin"
+    prog.write_bytes(code)
+    proof_file = tmp_path / "proof.cbor"
+    assert cli_main(["prove", str(prog), str(proof_file)]) == 0
+    obj = cbor_loads(proof_file.read_bytes())
+    obj["meta"]["poseidon"] = "sha256" if obj["meta"]["poseidon"] != "sha256" \
+        else "p3rng"
+    proof_file.write_bytes(cbor_dumps(obj))
+    assert cli_main(["verify", str(prog), str(proof_file)]) == 1
+    out = capsys.readouterr().out
+    assert "transcript configuration" in out and "--poseidon" in out
+
+
 def test_repl_basic_session():
     code = assemble("main:\n  imm32 -4(fp), 0, 0, 0, 9\n  stop\n")
 

@@ -122,7 +122,7 @@ def main(argv=None):
             proof = machine.prove(config)
         machine.verify(config, proof)
         with open(args.action_file, "wb") as f:
-            f.write(serialize_proof(proof))
+            f.write(serialize_proof(proof, config))
         print("Proof successful")
         return 0
 
@@ -133,7 +133,27 @@ def main(argv=None):
         # (basic/src/bin/valida.rs:354) — an artifact of its shared main
         # flow; a verifier must not need the (possibly absent) advice tape.
         with open(args.action_file, "rb") as f:
-            proof = deserialize_proof(f.read())
+            blob = f.read()
+        # Fail a transcript-configuration mismatch with an actionable
+        # message instead of an opaque Fiat-Shamir failure (ADVICE r4).
+        from .serde import proof_meta
+        from ..crypto import poseidon
+
+        meta = proof_meta(blob)
+        mismatches = []
+        if meta.get("poseidon") and meta["poseidon"] != poseidon.PARAM_SET:
+            mismatches.append(
+                f"--poseidon {meta['poseidon']} (this run: {poseidon.PARAM_SET})")
+        if meta.get("hasher") and meta["hasher"] != args.hasher:
+            mismatches.append(
+                f"--hasher {meta['hasher']} (this run: {args.hasher})")
+        if mismatches:
+            print("Proof verification failed: transcript configuration "
+                  "mismatch — the proof was produced with "
+                  + ", ".join(mismatches) + "; re-run verify with the "
+                  "prover's flags.")
+            return 1
+        proof = deserialize_proof(blob)
         try:
             machine.verify(config, proof)
             print("Proof verified")

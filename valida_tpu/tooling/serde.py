@@ -166,9 +166,19 @@ def _final_poly_from_obj(o):
     return tuple(int(x) for x in o)
 
 
-def proof_to_obj(proof: MachineProof) -> dict:
+def proof_to_obj(proof: MachineProof, config=None) -> dict:
+    from ..crypto import poseidon
+
     fri = proof.opening_proof.fri
+    # Transcript-configuration header (ADVICE r4): a proof produced under a
+    # different Fiat-Shamir configuration fails verification with no
+    # diagnostics; the meta block lets the verifier name the mismatch
+    # instead.  Absent in pre-round-5 proofs (deserialize tolerates that).
+    meta = {"v": 1, "poseidon": poseidon.PARAM_SET}
+    if config is not None:
+        meta["hasher"] = config.pcs.config.hasher
     obj = {
+        "meta": meta,
         "commitments": {
             "preprocessed": _digest_obj(proof.commitments.preprocessed),
             "main_trace": _digest_obj(proof.commitments.main_trace),
@@ -301,8 +311,15 @@ def proof_from_obj(obj: dict) -> MachineProof:
     )
 
 
-def serialize_proof(proof: MachineProof) -> bytes:
-    return cbor_dumps(proof_to_obj(proof))
+def proof_meta(data: bytes) -> dict:
+    """Transcript-configuration header of a serialized proof ({} for
+    pre-round-5 proofs that predate the meta block)."""
+    obj = cbor_loads(data)
+    return obj.get("meta", {}) if isinstance(obj, dict) else {}
+
+
+def serialize_proof(proof: MachineProof, config=None) -> bytes:
+    return cbor_dumps(proof_to_obj(proof, config))
 
 
 def deserialize_proof(data: bytes) -> MachineProof:
