@@ -270,7 +270,9 @@ def grind_device(challenger, bits: int) -> int:
             state0[:, i] = v
         if use_jax:
             fn = _grind_attempt_jit(batch, k, mask, poseidon.PARAM_SET)
-            state0_m = bb.to_monty(jnp.asarray(state0))
+            # Montgomery-convert in numpy: an eager device to_monty on the
+            # [batch, 16] state was ~13 one-time remote compiles
+            state0_m = jnp.asarray(bb.to_monty(state0))
             return int(fn(state0_m, jnp.uint32(start)))
         st = bb.to_monty(state0)
         cand = (start + np.arange(batch, dtype=np.uint64)).astype(np.uint32)

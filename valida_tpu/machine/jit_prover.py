@@ -463,8 +463,9 @@ def _build_levels_jit(mats, hasher_name="keccak", exported=True, ctx=None,
     if (1 << log_max) <= _tree_fuse_max():
         outs = _tree_stage(shapes, hasher_name, exported, ctx)(tuple(mats))
         levels = {log_max - i: a for i, a in enumerate(outs)}
-        root = levels[0][0]
-        return (np.asarray(root) if fetch_root else root), levels
+        if fetch_root:  # fetch [1,8] and index on host: no eager slice op
+            return np.asarray(levels[0])[0], levels
+        return levels[0][0], levels
     levels = {}
     d = _hash_level(by_level[log_max], hasher_name, exported, ctx)
     levels[log_max] = d
@@ -476,8 +477,9 @@ def _build_levels_jit(mats, hasher_name="keccak", exported=True, ctx=None,
             inj = _hash_level(by_level[k], hasher_name, exported, ctx)
             d = _hash_level([d, inj], hasher_name, exported, ctx)
         levels[k] = d
-    root = levels[0][0]
-    return (np.asarray(root) if fetch_root else root), levels
+    if fetch_root:
+        return np.asarray(levels[0])[0], levels
+    return levels[0][0], levels
 
 
 def _dist_dif_applies(log_h: int, mesh, row_axis: str) -> bool:
@@ -808,9 +810,9 @@ class _BufSim:
             self.out -= 1
 
 
-def _ladder_entry_k0(all_mats, direct_set) -> int:
+def _pre_ladder_sim(all_mats, direct_set) -> "_BufSim":
     """Replay the pre-ladder transcript's observe/sample counts (shapes
-    only) to get the challenger's input-buffer length at FRI-ladder entry.
+    only) to get the challenger's buffer state at FRI-ladder entry.
     Must mirror prove_jit's transcript order exactly; a mismatch only
     costs one small runtime compile (the k0 variant), never correctness."""
     sim = _BufSim()
@@ -828,6 +830,25 @@ def _ladder_entry_k0(all_mats, direct_set) -> int:
         (h, w), _k = all_mats[mi]
         sim.observe(h * w)              # direct coefficient binding
     sim.sample(5)                       # alpha_fri
+    return sim
+
+
+def _ladder_entry_k0(all_mats, direct_set) -> int:
+    return _pre_ladder_sim(all_mats, direct_set).k
+
+
+def _grind_entry_k(all_mats, direct_set, n_layers: int, log_stop: int,
+                   log_blowup: int) -> int:
+    """Continue the transcript simulation through the FRI ladder and the
+    final-poly binding to the PoW grind point (same caveat as above: a
+    mismatch costs one runtime compile of the grind attempt, nothing
+    else)."""
+    sim = _pre_ladder_sim(all_mats, direct_set)
+    for _ in range(n_layers):
+        sim.observe(8)                  # layer root
+        sim.sample(5)                   # beta
+    n_keep = max(1, (1 << log_stop) >> log_blowup)
+    sim.observe(5 * n_keep)             # final-poly coefficients
     return sim.k
 
 
@@ -1280,6 +1301,62 @@ def warmup_jit(machine, config, threads: int = 8, dry: bool = False,
             add(fold, sds(1 << log_m, 5), sds(5))
         add_commit([(1 << (log_m - 1), 10)])
 
+    # first-call eager-compile kill (VERDICT r4 #4): the batched-fetch
+    # concat jit (_fetch_all's _CATFLAT_JIT, keyed on its shape tuple) and
+    # the PoW grind attempt are the last one-time compiles a first prove
+    # pays after warmup; warm them on the exact shape sets prove_jit uses.
+    catflat_sets = []
+    open_shapes = []  # opened-values fetch: n_points x [sum_w, 5] per group
+    for (_log_h, kind), members in groups.items():
+        sum_w = sum(all_mats[mi][0][1] for mi in members)
+        open_shapes += [(sum_w, 5)] * (2 if kind[0] == "pair" else 1)
+    if open_shapes:
+        catflat_sets.append(open_shapes)
+    n_layers = max(log_max - log_stop, 0)
+    if _dev_challenger_enabled() and n_layers:
+        catflat_sets.append([(8,)] * n_layers)  # batched ladder-root fetch
+    # query openings: FRI layer trees then commit-round trees, matching
+    # prove_jit's flat order (zero-depth paths are numpy and never reach
+    # the concat jit)
+    q_shapes = []
+    for log_m in range(log_max, log_stop, -1):
+        q_shapes.append((nq, 10))
+        if log_m - 1 > 0:
+            q_shapes.append((nq, log_m - 1, 8))
+    round_groups = []
+    if prep_shapes:
+        round_groups.append([prep_shapes[ci] for ci in sorted(prep_shapes)])
+    round_groups += [main_shapes, perm_shapes, quot_shapes]
+    for group in round_groups:
+        committed = [(h << log_blowup, w) for (h, w) in group]
+        lm_r = max(h.bit_length() - 1 for (h, _w) in committed)
+        q_shapes += [(nq, w) for (_h, w) in committed]
+        if lm_r > 0:
+            q_shapes.append((nq, lm_r, 8))
+    if q_shapes:
+        catflat_sets.append(q_shapes)
+    if ctx is None:
+        # prove-time catflat args are stage outputs COMMITTED to the
+        # default device; place the warmup zeros the same way so the jit
+        # cache entry matches (see _place_calls)
+        def _catflat_committed(arrs):
+            dev = jax.devices()[0]
+            return _CATFLAT_JIT(tuple(jax.device_put(a, dev) for a in arrs))
+
+        for shapes_cf in catflat_sets:
+            add(_catflat_committed, tuple(sds(*s) for s in shapes_cf))
+
+    bits = fri_config.proof_of_work_bits
+    if bits:
+        from ..crypto import poseidon
+
+        k_grind = _grind_entry_k(all_mats, direct_set, n_layers, log_stop,
+                                 log_blowup)
+        batch0 = max(64, min(1 << 14, 4 << bits))
+        add(frim._grind_attempt_jit(batch0, k_grind, (1 << bits) - 1,
+                                    poseidon.PARAM_SET),
+            sds(batch0, poseidon.WIDTH), jax.ShapeDtypeStruct((), u32))
+
     for kind_, payload in hash_keys:
         if kind_ == "leaf":
             add(_leaf_hash_jit(payload, hasher, True, ctx),
@@ -1489,8 +1566,11 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         )
         fn = _quotient_stage(machine, chip, log_degrees[ci], qds[ci],
                              shapes_q, shift, log_blowup, exported, ctx)
+        # canonical cum-sum from the already-fetched stacked host copy —
+        # an eager device `bb.from_monty` here costs ~9 tiny one-time
+        # remote compiles and ~9 dispatches per chip per prove
         return fn(prep_lde, main_ldes[ci], perm_ldes[ci], ch_arr, alpha_arr,
-                  bb.from_monty(cumulative_sums_dev[ci]))
+                  jnp.asarray(cs_host[ci]))
 
     with stage("compute quotient polynomial"):
         quotient_mats = _par_map([
@@ -1506,7 +1586,9 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
 
     # -- openings -----------------------------------------------------------
     zeta = challenger.sample_ext()
-    zeta_m = bb.to_monty(jnp.asarray(np.array(zeta, dtype=np.uint32)))
+    # Montgomery-convert on the host (numpy) and upload the 20-byte result:
+    # to_monty on a device array is ~20 eager ops of one-time compile
+    zeta_m = jnp.asarray(bb.to_monty(np.array(zeta, dtype=np.uint32)))
 
     rounds_meta = []  # (tree, coeffs, ldes, point_kinds)
     if prep_tree is not None:
@@ -1550,7 +1632,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
         if frim.is_direct_mat(log_lde, log_max_all, threshold):
             direct_set.add(mi)
             direct_polys.append(
-                np.asarray(bb.from_monty(c), dtype=np.uint32)
+                np.asarray(bb.from_monty(np.asarray(c)), dtype=np.uint32)
             )
 
     # group matrices by (height, point-kind): one openings stage and one
@@ -1607,11 +1689,15 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     # batched fetch (see _fetch_all), then per-matrix slicing on the host
     # (device-side per-matrix slices were ~100 tiny one-time compiles)
     fetched = iter(_fetch_all(
-        [bb.from_monty(v) for vals in group_vals for v in vals]
+        [v for vals in group_vals for v in vals]
     ))
     opened_host = [None] * len(all_coeffs)
     for ((_lh, _kind), members), vals in zip(group_items, group_vals):
-        host_points = [np.asarray(next(fetched)) for _ in vals]
+        # Montgomery values fetched raw; canonicalize in numpy on the host
+        # (a per-group-shape device from_monty was ~9 one-time compiles
+        # per distinct opened-width through the remote-compile service)
+        host_points = [bb.from_monty(np.asarray(next(fetched)))
+                       for _ in vals]
         off = 0
         for mi in members:
             w = int(all_coeffs[mi].shape[1])
@@ -1629,7 +1715,7 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
     # (transcript position matches pcs.open_multi_batches / verify)
     observe_direct_polys(challenger, direct_polys)
     alpha_fri = challenger.sample_ext()
-    alpha_fri_m = bb.to_monty(jnp.asarray(np.array(alpha_fri, dtype=np.uint32)))
+    alpha_fri_m = jnp.asarray(bb.to_monty(np.array(alpha_fri, dtype=np.uint32)))
 
     mat_offs = []  # absolute alpha-power offset of each matrix
     off = 0
@@ -1717,8 +1803,8 @@ def prove_jit(machine, config, mesh=None, row_axis: str = "sp") -> MachineProof:
             commits.append(tree.root)
             challenger.observe_digest(tree.root)
             beta = challenger.sample_ext()
-            beta_m = bb.to_monty(
-                jnp.asarray(np.array(beta, dtype=np.uint32)))
+            beta_m = jnp.asarray(
+                bb.to_monty(np.array(beta, dtype=np.uint32)))
         nxt = log_m - 1
         inject = nxt in reduced
         fold = _fri_fold(log_m, frim.layer_shift(shift, layer), inject,
