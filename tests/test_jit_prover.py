@@ -345,3 +345,28 @@ def test_quotient_chunked_bit_identical(monkeypatch):
     m2.verify(config, p2)
     jp._QUOTIENT_STAGE_CACHE.clear()
     assert serialize_proof(p1) == serialize_proof(p2)
+
+
+def test_perm_chunked_bit_identical(monkeypatch):
+    """Row-chunked permutation stage (lax.scan tiles with the phi prefix
+    sum carried across tiles; used where the whole-domain RLC graph
+    exceeds HBM at compile time, observed at the 2^20-cycle flagship)
+    produces a bit-identical proof to the one-shot path.  Uses the
+    ragged machine so a PREPROCESSED chip rides the chunked path too."""
+    from valida_tpu.machine import jit_prover as jp
+    from valida_tpu.machine.examples import random_ragged_machine
+    from valida_tpu.tooling.serde import serialize_proof
+
+    config = test_config(debug_checks=False)
+    monkeypatch.setenv("VALIDA_TPU_PERM_CHUNK", "16")
+    jp._PERM_STAGE_CACHE.clear()
+    m1 = random_ragged_machine(64, seed=3)
+    p1 = prove_jit(m1, config)
+    m1.verify(config, p1)
+    monkeypatch.setenv("VALIDA_TPU_PERM_CHUNK", "0")
+    jp._PERM_STAGE_CACHE.clear()
+    m2 = random_ragged_machine(64, seed=3)
+    p2 = prove_jit(m2, config)
+    m2.verify(config, p2)
+    jp._PERM_STAGE_CACHE.clear()
+    assert serialize_proof(p1) == serialize_proof(p2)

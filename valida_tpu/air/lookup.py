@@ -84,6 +84,43 @@ def _ext_powers_arr(ch_m, count, skip_first=False):
     return out
 
 
+def perm_cols_and_terms(machine, chip, main_m, prep_m, challenges):
+    """Row-parallel part of the permutation trace: the reciprocal columns
+    q_m and the per-row phi increments (sum of +-q*count).  main_m/prep_m
+    are MONTGOMERY matrices; challenges is a canonical [3, 5] array.
+    Returns (cols list of [N, 5] monty, terms [N, 5] monty or None) —
+    row-local, so callers may evaluate it over row chunks and stitch phi
+    with a carried prefix sum (the chunked `_perm_stage`)."""
+    interactions = chip.all_interactions(machine)
+    ch_m = bb.to_monty(challenges)
+    n_local, n_global = _alpha_counts(chip, machine)
+    alphas_local = _ext_powers_arr(ch_m[0], n_local, skip_first=True)
+    alphas_global = _ext_powers_arr(ch_m[1], n_global, skip_first=True)
+    max_fields = max((len(i.fields) for i in interactions), default=1)
+    betas = _ext_powers_arr(ch_m[2], max_fields)
+
+    cols = []
+    for inter in interactions:
+        alpha = (
+            alphas_local[inter.bus.index]
+            if inter.bus.is_local
+            else alphas_global[inter.bus.index]
+        )
+        rlc = _interaction_rlc_device(inter, betas, alpha, prep_m, main_m)
+        cols.append(extf.ext_inv(rlc))  # q_m; ext_inv maps 0 -> 0 like ref
+
+    terms = None
+    for (inter, itype), q in zip(
+        [(i, t) for i, t in chip.typed_interactions(machine)], cols
+    ):
+        count = _apply_vpcol_device(inter.count, prep_m, main_m)
+        t = extf.ext_mul_base(q, count)
+        if itype == RECEIVE:
+            t = bb.neg(t)
+        terms = t if terms is None else bb.add(terms, t)
+    return cols, terms
+
+
 def generate_permutation_trace(machine, chip, main_trace, challenges,
                                prep=None):
     """main_trace: canonical uint32 [N, C] (device or numpy); challenges:
@@ -118,34 +155,11 @@ def generate_permutation_trace(machine, chip, main_trace, challenges,
 
     if isinstance(challenges, (list, tuple)):
         challenges = asarray(np.array(challenges, dtype=np.uint32))
-    ch_m = bb.to_monty(challenges)
-    n_local, n_global = _alpha_counts(chip, machine)
-    alphas_local = _ext_powers_arr(ch_m[0], n_local, skip_first=True)
-    alphas_global = _ext_powers_arr(ch_m[1], n_global, skip_first=True)
-    max_fields = max((len(i.fields) for i in interactions), default=1)
-    betas = _ext_powers_arr(ch_m[2], max_fields)
-
-    cols = []
-    for inter in interactions:
-        alpha = (
-            alphas_local[inter.bus.index]
-            if inter.bus.is_local
-            else alphas_global[inter.bus.index]
-        )
-        rlc = _interaction_rlc_device(inter, betas, alpha, prep_m, main_m)
-        cols.append(extf.ext_inv(rlc))  # q_m; ext_inv maps 0 -> 0 like ref
+    cols, terms = perm_cols_and_terms(machine, chip, main_m, prep_m,
+                                      challenges)
 
     # phi: prefix sum of sum_m (+-) q_m * count_m
     if cols:
-        terms = None
-        for (inter, itype), q in zip(
-            [(i, t) for i, t in chip.typed_interactions(machine)], cols
-        ):
-            count = _apply_vpcol_device(inter.count, prep_m, main_m)
-            t = extf.ext_mul_base(q, count)
-            if itype == RECEIVE:
-                t = bb.neg(t)
-            terms = t if terms is None else bb.add(terms, t)
         if is_jax(terms):
             phi = jax.lax.associative_scan(bb.add, terms, axis=0)
         else:

@@ -922,25 +922,71 @@ def _perm_stage(machine, chip, log_degree, width, prep_shape=None,
     would let a second program with the same ROM length silently reuse
     the first one's constants from the in-process or persistent cache
     (observed as a program-chip OOD failure at 2^17 after a 2^13 run)."""
+    n = 1 << log_degree
+    n_inter = len(chip.all_interactions(machine))
+    chunk = _pow2_chunk("VALIDA_TPU_PERM_CHUNK", 1 << 16)
+    # row-tile only the big single-device stages: the RLC/ext-inv temps of
+    # a [2^22, w] chip OOM XLA's compile-time HBM accounting (observed at
+    # the 2^20-cycle flagship config); under a mesh the associative_scan
+    # already shards, and interaction-free chips are trivial
+    if not (chunk and n > chunk and ctx is None and n_inter > 0):
+        chunk = 0
     key = (type(machine).__name__, chip.name, log_degree, width,
-           prep_shape, exported, _ctx_key(ctx))
+           prep_shape, chunk, exported, _ctx_key(ctx))
     fn = _PERM_STAGE_CACHE.get(key)
     if fn is None:
+        from ..air.lookup import perm_cols_and_terms
+
+        def perm_full(main_trace, ch_arr, prep):
+            t = generate_permutation_trace(machine, chip, main_trace,
+                                           ch_arr, prep=prep)
+            flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
+            return t, flat, t[-1, -1]
+
+        def perm_chunked(main_trace, ch_arr, prep):
+            """lax.scan over row tiles with the phi prefix sum carried:
+            mod-p addition is exact and associative, so the stitched phi
+            is bit-identical to the whole-domain associative_scan."""
+            nc = n // chunk
+            main_r = main_trace.reshape(nc, chunk, width)
+            xs = (main_r,)
+            if prep is not None:
+                ph, pw = int(prep.shape[0]), int(prep.shape[1])
+                if ph < n:
+                    prep_p = jnp.concatenate(
+                        [prep, jnp.zeros((n - ph, pw), jnp.uint32)], axis=0)
+                else:
+                    prep_p = prep[:n]
+                xs = (main_r, prep_p.reshape(nc, chunk, pw))
+
+            def body(carry, x):
+                mt = x[0]
+                prep_m = bb.to_monty(x[1]) if len(x) > 1 else None
+                cols, terms = perm_cols_and_terms(
+                    machine, chip, bb.to_monty(mt), prep_m, ch_arr)
+                phi = bb.add(
+                    jax.lax.associative_scan(bb.add, terms, axis=0),
+                    carry[None, :])
+                t = jnp.stack(cols + [phi], axis=1)
+                flat = bb.from_monty(t).reshape(chunk, t.shape[1] * 5)
+                return phi[-1], (t, flat)
+
+            _last, (t, flat) = jax.lax.scan(
+                body, jnp.zeros((5,), jnp.uint32), xs)
+            t = t.reshape(n, n_inter + 1, 5)
+            flat = flat.reshape(n, (n_inter + 1) * 5)
+            return t, flat, t[-1, -1]
+
+        impl = perm_chunked if chunk else perm_full
         if prep_shape is None:
             def stage(main_trace, ch_arr):
-                t = generate_permutation_trace(machine, chip, main_trace,
-                                               ch_arr)
-                flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
-                return t, flat, t[-1, -1]
+                return impl(main_trace, ch_arr, None)
 
             args = (_sds(1 << log_degree, width, ctx=ctx),
                     _sds(3, 5, ctx=ctx))
         else:
             def stage(main_trace, prep, ch_arr):
-                t = generate_permutation_trace(machine, chip, main_trace,
-                                               ch_arr, prep=prep)
-                flat = bb.from_monty(t).reshape(t.shape[0], t.shape[1] * 5)
-                return t, flat, t[-1, -1]
+                return impl(main_trace, ch_arr, prep)
 
             args = (_sds(1 << log_degree, width, ctx=ctx),
                     _sds(*prep_shape, ctx=ctx), _sds(3, 5, ctx=ctx))
