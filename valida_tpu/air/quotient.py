@@ -85,15 +85,27 @@ def quotient_values(machine, chip, log_degree, log_quotient_degree,
     perm_rolled = xp.roll(perm, -next_step, axis=0)
 
     zc = ZerofierOnCoset(log_degree, qd, pcs_shift)
-    xs = xp.asarray(coset_points(log_degree + qd, pcs_shift))
     g_sub = bb.two_adic_generator(log_degree)
     sub_last = bb.monty_scalar(bb.h_inv(g_sub))
+    if xp is np:
+        xs = coset_points(log_degree + qd, pcs_shift)
+        first_v = zc.lagrange_basis_unnormalized(0)
+        last_v = zc.lagrange_basis_unnormalized((1 << log_degree) - 1)
+        zinv = zc.zerofier_inv_evals()
+    else:
+        # build the [Q] selector vectors IN-GRAPH: baked host constants
+        # at 2^23 points are ~32 MB of StableHLO payload EACH, and the
+        # remote compile service caps the request body (HTTP 413).  Same
+        # arithmetic as the host branch -> bit-identical values.
+        from ..poly.domain import coset_points_device
+
+        xs = coset_points_device(log_degree + qd, pcs_shift)
+        z_full = jnp.tile(jnp.asarray(zc._z_period), 1 << log_degree)
+        zinv = jnp.tile(jnp.asarray(zc._zinv_period), 1 << log_degree)
+        first_v = bb.mul(z_full, bb.inv(
+            bb.sub(xs, np.uint32(bb.monty_scalar(1)))))
+        last_v = bb.mul(z_full, bb.inv(bb.sub(xs, np.uint32(sub_last))))
     trans_v = bb.sub(xs, np.uint32(sub_last))
-    first_v = xp.asarray(zc.lagrange_basis_unnormalized(0))
-    last_v = xp.asarray(
-        zc.lagrange_basis_unnormalized((1 << log_degree) - 1)
-    )
-    zinv = xp.asarray(zc.zerofier_inv_evals())
 
     def ext_const(e):
         if isinstance(e, tuple):

@@ -152,7 +152,10 @@ def _source_fingerprint() -> str:
         for fname in sorted(filenames):
             if fname.endswith(".py"):
                 p = os.path.join(dirpath, fname)
-                h.update(p.encode())
+                # RELATIVE path: snapshot worktrees with identical
+                # sources must share the cache (an absolute path here
+                # made every new checkout location a full re-trace)
+                h.update(os.path.relpath(p, pkg).encode())
                 with open(p, "rb") as f:
                     h.update(f.read())
     return h.hexdigest()[:16]

@@ -25,6 +25,24 @@ def coset_points(log_n: int, shift: int) -> np.ndarray:
     return ((canon << 32) % np.uint64(bb.P)).astype(np.uint32)
 
 
+def coset_points_device(log_n: int, shift: int):
+    """In-graph coset points, identical values to `coset_points` but built
+    from log_n SCALAR constants (square-and-multiply over the iota bits)
+    instead of a baked [2^log_n] array: a 2^23-point quotient stage bakes
+    five such arrays, and the resulting ~160 MB StableHLO payload is
+    rejected by the remote compile service (HTTP 413)."""
+    n = 1 << log_n
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    acc = jnp.full((n,), np.uint32(bb.monty_scalar(shift % bb.P)),
+                   jnp.uint32)
+    g = bb.two_adic_generator(log_n)
+    for b in range(log_n):
+        gb = np.uint32(bb.monty_scalar(bb.h_exp(g, 1 << b)))
+        hit = ((idx >> np.uint32(b)) & np.uint32(1)).astype(bool)
+        acc = jnp.where(hit, bb.mul(acc, gb), acc)
+    return acc
+
+
 class ZerofierOnCoset:
     """Z_H(x) = x^N - 1 (H of size N = 2^log_n) evaluated on the coset
     shift·K with K of size N·2^log_blowup.
